@@ -1,0 +1,187 @@
+"""On-device rotated BEV / 3D IoU between box_3d sets.
+
+The reference computes these on the HOST with a C++ op (boost::geometry polygon
+intersection — lib/utils/tf_ops/evaluation/evaluate.cpp:1161 `calc_iou`,
+:1196 `calc_matching_iou`), forcing a device→host→device round trip inside the
+training step. Here the rotated-rectangle overlap is a fixed-shape
+Sutherland–Hodgman polygon clip in pure JAX: convex quad ∩ convex quad has ≤ 8
+vertices, so everything runs in static [*, 8]-padded buffers and vmaps cleanly
+over arbitrary numbers of box pairs — XLA keeps the whole IoU matrix on device.
+
+BEV plane here is (x, z); boxes are box_3d = [x, y, z, l, h, w, ry] with y the
+bottom face (camera frame, y down). 3D IoU multiplies BEV overlap by y-extent
+intersection (same decomposition as evaluate.cpp:510 box3DOverlap).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_MAX_VERTS = 16  # quad clipped by 4 half-planes has <= 8 verts; 16 is safe padding
+
+
+def _box_bev_corners(boxes: Array) -> Array:
+    """BEV footprint corners (counter-clockwise in the (x, z) plane).
+
+    boxes: [..., 7] -> [..., 4, 2]
+    """
+    x, z = boxes[..., 0], boxes[..., 2]
+    half_l, half_w = boxes[..., 3] / 2.0, boxes[..., 5] / 2.0
+    ry = boxes[..., 6]
+    # local footprint, CCW when viewed with x right / z up
+    lx = jnp.stack([half_l, -half_l, -half_l, half_l], axis=-1)
+    lz = jnp.stack([half_w, half_w, -half_w, -half_w], axis=-1)
+    c, s = jnp.cos(ry)[..., None], jnp.sin(ry)[..., None]
+    # camera-frame y-rotation acting on (x, z): x' = c*x + s*z ; z' = -s*x + c*z
+    gx = c * lx + s * lz + x[..., None]
+    gz = -s * lx + c * lz + z[..., None]
+    return jnp.stack([gx, gz], axis=-1)
+
+
+def _polygon_area(verts: Array, valid: Array) -> Array:
+    """Shoelace area of a padded polygon. verts: [v, 2], valid: [v] bool."""
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    idx = jnp.arange(verts.shape[0])
+    nxt = jnp.where(idx + 1 < n, idx + 1, 0)
+    x, z = verts[:, 0], verts[:, 1]
+    cross = x * z[nxt] - x[nxt] * z
+    cross = jnp.where(valid, cross, 0.0)
+    return jnp.abs(jnp.sum(cross)) / 2.0
+
+
+def _clip_by_edge(verts: Array, valid: Array, p0: Array, p1: Array):
+    """Clip a padded polygon by the half-plane left of directed edge p0->p1.
+
+    Fixed-shape Sutherland–Hodgman step: each input vertex contributes up to
+    2 output vertices (itself if inside, plus the edge intersection if the
+    segment to the next vertex crosses). Outputs are compacted with a
+    rank-scatter so downstream steps see a contiguous prefix.
+    """
+    v = verts.shape[0]
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    idx = jnp.arange(v)
+    nxt = jnp.where(idx + 1 < n, idx + 1, 0)
+
+    edge = p1 - p0
+    rel = verts - p0[None, :]
+    # signed side: positive = inside (left of edge for CCW clip polygon)
+    side = edge[0] * rel[:, 1] - edge[1] * rel[:, 0]
+    inside = (side >= 0.0) & valid
+    next_side = side[nxt]
+    next_inside = inside[nxt]
+
+    # intersection of segment (verts[i] -> verts[nxt]) with the edge line
+    denom = side - next_side
+    t = side / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    inter = verts + t[:, None] * (verts[nxt] - verts)
+
+    seg_valid = valid & (idx < n)
+    emit_self = inside & seg_valid
+    emit_inter = seg_valid & (inside ^ next_inside)
+
+    # interleave: slot 2i holds vertex i, slot 2i+1 its crossing point
+    out_pts = jnp.zeros((2 * v, 2), verts.dtype)
+    out_msk = jnp.zeros((2 * v,), bool)
+    out_pts = out_pts.at[0::2].set(verts).at[1::2].set(inter)
+    out_msk = out_msk.at[0::2].set(emit_self).at[1::2].set(emit_inter)
+
+    # compact valid entries to the front (stable by construction order)
+    rank = jnp.cumsum(out_msk.astype(jnp.int32)) - 1
+    comp_pts = jnp.zeros((v, 2), verts.dtype)
+    comp_msk = jnp.zeros((v,), bool)
+    write_at = jnp.where(out_msk & (rank < v), rank, v)  # v = dropped
+    comp_pts = jnp.concatenate([comp_pts, jnp.zeros((1, 2), verts.dtype)])
+    comp_msk = jnp.concatenate([comp_msk, jnp.zeros((1,), bool)])
+    comp_pts = comp_pts.at[write_at].set(out_pts)
+    comp_msk = comp_msk.at[write_at].set(out_msk)
+    return comp_pts[:v], comp_msk[:v]
+
+
+def _pair_bev_overlap(corners_a: Array, corners_b: Array) -> Array:
+    """Intersection area of two convex quads. corners: [4, 2] each, CCW."""
+    verts = jnp.zeros((_MAX_VERTS, 2), corners_a.dtype).at[:4].set(corners_a)
+    valid = jnp.zeros((_MAX_VERTS,), bool).at[:4].set(True)
+    for k in range(4):
+        p0 = corners_b[k]
+        p1 = corners_b[(k + 1) % 4]
+        verts, valid = _clip_by_edge(verts, valid, p0, p1)
+    return _polygon_area(verts, valid)
+
+
+def boxes_iou_bev_3d(boxes_a: Array, boxes_b: Array) -> tuple[Array, Array]:
+    """Full IoU matrices between two box sets.
+
+    boxes_a: [n, 7], boxes_b: [m, 7] -> (iou_bev [n, m], iou_3d [n, m]).
+    Parity target: reference calc_iou (evaluate.cpp:1161).
+    """
+    ca = _box_bev_corners(boxes_a)  # [n, 4, 2]
+    cb = _box_bev_corners(boxes_b)  # [m, 4, 2]
+    overlap = jax.vmap(
+        lambda a: jax.vmap(lambda b: _pair_bev_overlap(a, b))(cb)
+    )(ca)  # [n, m]
+
+    area_a = (boxes_a[:, 3] * boxes_a[:, 5])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 5])[None, :]
+    union_bev = jnp.maximum(area_a + area_b - overlap, 1e-8)
+    iou_bev = overlap / union_bev
+
+    # y extent: box spans [y - h, y] (camera y down, y = bottom face)
+    ymax_a, ymin_a = boxes_a[:, 1], boxes_a[:, 1] - boxes_a[:, 4]
+    ymax_b, ymin_b = boxes_b[:, 1], boxes_b[:, 1] - boxes_b[:, 4]
+    y_over = jnp.maximum(
+        jnp.minimum(ymax_a[:, None], ymax_b[None, :])
+        - jnp.maximum(ymin_a[:, None], ymin_b[None, :]),
+        0.0,
+    )
+    inter_3d = overlap * y_over
+    vol_a = (area_a * boxes_a[:, 4][:, None])
+    vol_b = (area_b * boxes_b[:, 4][None, :])
+    union_3d = jnp.maximum(vol_a + vol_b - inter_3d, 1e-8)
+    iou_3d = inter_3d / union_3d
+    return iou_bev, iou_3d
+
+
+def boxes_iou_matched(boxes_a: Array, boxes_b: Array) -> tuple[Array, Array]:
+    """Elementwise-paired IoU (reference calc_matching_iou, evaluate.cpp:1196).
+
+    boxes_a/boxes_b: [..., 7] same shape -> (iou_bev [...], iou_3d [...]).
+    """
+    flat_a = boxes_a.reshape(-1, 7)
+    flat_b = boxes_b.reshape(-1, 7)
+    ca = _box_bev_corners(flat_a)
+    cb = _box_bev_corners(flat_b)
+    overlap = jax.vmap(_pair_bev_overlap)(ca, cb)
+    area_a = flat_a[:, 3] * flat_a[:, 5]
+    area_b = flat_b[:, 3] * flat_b[:, 5]
+    iou_bev = overlap / jnp.maximum(area_a + area_b - overlap, 1e-8)
+    y_over = jnp.maximum(
+        jnp.minimum(flat_a[:, 1], flat_b[:, 1])
+        - jnp.maximum(flat_a[:, 1] - flat_a[:, 4], flat_b[:, 1] - flat_b[:, 4]),
+        0.0,
+    )
+    inter_3d = overlap * y_over
+    union_3d = jnp.maximum(
+        area_a * flat_a[:, 4] + area_b * flat_b[:, 4] - inter_3d, 1e-8
+    )
+    iou_3d = inter_3d / union_3d
+    shape = boxes_a.shape[:-1]
+    return iou_bev.reshape(shape), iou_3d.reshape(shape)
+
+
+def aabb_iou(boxes_a: Array, boxes_b: Array) -> Array:
+    """IoU matrix of axis-aligned rectangles [x1, z1, x2, z2].
+
+    Used by the BEV NMS path (reference tf.image.non_max_suppression on
+    project_to_bev rectangles, postprocessor.py:84)."""
+    x1 = jnp.maximum(boxes_a[..., :, None, 0], boxes_b[..., None, :, 0])
+    z1 = jnp.maximum(boxes_a[..., :, None, 1], boxes_b[..., None, :, 1])
+    x2 = jnp.minimum(boxes_a[..., :, None, 2], boxes_b[..., None, :, 2])
+    z2 = jnp.minimum(boxes_a[..., :, None, 3], boxes_b[..., None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(z2 - z1, 0.0)
+    area_a = (boxes_a[..., 2] - boxes_a[..., 0]) * (boxes_a[..., 3] - boxes_a[..., 1])
+    area_b = (boxes_b[..., 2] - boxes_b[..., 0]) * (boxes_b[..., 3] - boxes_b[..., 1])
+    union = area_a[..., :, None] + area_b[..., None, :] - inter
+    return inter / jnp.maximum(union, 1e-8)

@@ -1,0 +1,243 @@
+"""Neighborhood grouping ops: ball query (plain/dilated/ordered), grouping
+gathers, box-interior queries, point-membership IoU.
+
+TPU-native replacements for the reference CUDA grouping ops
+(lib/utils/tf_ops/grouping/tf_grouping_g.cu). The CUDA kernels stream over the
+n points per query with a sequential counter; on TPU the same contract is
+expressed as a dense masked top-k so the whole thing is vectorized:
+
+    "first nsample in-radius points, in index order, padded by repeating the
+     first hit; count = number found (<= nsample)"        (tf_grouping_g.cu:245)
+
+is exactly top-k over the key  `mask * (n - index)`:  valid points have
+strictly decreasing positive keys by index, so top-k returns the lowest-index
+valid points, already ordered.
+
+Distances are computed per-coordinate (fused subtractions, no a²+b²-2ab
+cancellation) so self-distance is exactly 0 — the dilated query's d==0
+self-inclusion rule (tf_grouping_g.cu:335) holds bit-exactly. Work is chunked
+over the query axis to bound the [chunk, n] live set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ssd3d.core.geometry import canonicalize_points
+
+Array = jax.Array
+
+_QUERY_CHUNK = 1024  # queries processed per chunk; bounds [chunk, n] buffers
+
+
+def _pairwise_dist2(queries: Array, points: Array) -> Array:
+    """Exact squared distances. queries: [m, 3], points: [n, 3] -> [m, n]."""
+    diff = queries[:, None, :] - points[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _first_k_selection(valid: Array, nsample: int):
+    """Select first-`nsample` true entries per row of `valid` [m, n].
+
+    Returns (idx [m, nsample] int32, cnt [m] int32) with the CUDA pad rule:
+    slots beyond cnt repeat the first selected index (0 when cnt == 0)."""
+    m, n = valid.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(valid, (n - iota).astype(jnp.float32), 0.0)
+    _, idx = jax.lax.top_k(key, nsample)  # lowest-index valid first
+    idx = idx.astype(jnp.int32)
+    # CUDA breaks at nsample, so the reported count is capped
+    cnt = jnp.minimum(jnp.sum(valid, axis=-1), nsample).astype(jnp.int32)
+    slot = jnp.arange(nsample, dtype=jnp.int32)[None, :]
+    idx = jnp.where(slot < cnt[:, None], idx, idx[:, :1])
+    idx = jnp.where(cnt[:, None] > 0, idx, 0)
+    return idx, cnt
+
+
+def _chunked_query(points: Array, queries: Array, valid_fn, nsample: int):
+    """Run a mask-based first-k query in chunks over the query axis.
+
+    valid_fn(d2 [c, n], q_chunk [c, 3]) -> bool [c, n]."""
+    m = queries.shape[0]
+    chunk = min(_QUERY_CHUNK, m)
+    pad = (-m) % chunk
+    q = jnp.pad(queries, ((0, pad), (0, 0)))
+    q = q.reshape(-1, chunk, 3)
+
+    def one(q_chunk):
+        d2 = _pairwise_dist2(q_chunk, points)
+        return _first_k_selection(valid_fn(d2, q_chunk), nsample)
+
+    idx, cnt = jax.lax.map(one, q)
+    return idx.reshape(-1, nsample)[:m], cnt.reshape(-1)[:m]
+
+
+def _batched(fn):
+    """Lift a per-cloud fn to [b, ...] via vmap."""
+    return jax.vmap(fn)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array):
+    """First-nsample points with d < radius (tf_grouping_g.cu:215).
+
+    xyz: [b, n, 3], new_xyz: [b, m, 3] -> (idx [b, m, nsample], cnt [b, m])."""
+    r2 = radius * radius
+
+    def per_cloud(pts, qs):
+        return _chunked_query(pts, qs, lambda d2, _: d2 < r2, nsample)
+
+    return _batched(per_cloud)(xyz, new_xyz)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def ball_query_dilated(
+    min_radius: float, max_radius: float, nsample: int, xyz: Array, new_xyz: Array
+):
+    """Annulus query min_r <= d < max_r, self point (d == 0) always included
+    (tf_grouping_g.cu:308 — 3DSSD's dilated grouping)."""
+    lo2, hi2 = min_radius * min_radius, max_radius * max_radius
+
+    def per_cloud(pts, qs):
+        def valid(d2, _):
+            return ((d2 >= lo2) & (d2 < hi2)) | (d2 == 0.0)
+
+        return _chunked_query(pts, qs, valid, nsample)
+
+    return _batched(per_cloud)(xyz, new_xyz)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query_withidx(
+    radius: float, nsample: int, xyz: Array, new_xyz: Array, sort_idx: Array
+):
+    """Ball query visiting points in a caller-supplied order per query
+    (attention grouping, tf_grouping_g.cu:260). sort_idx: [b, m, n].
+
+    The first-k rule applies in sort order: rank r is valid if the point at
+    sort_idx[r] is in-radius; selected entries are mapped back through
+    sort_idx."""
+    r2 = radius * radius
+
+    def per_cloud(pts, qs, order):
+        m = qs.shape[0]
+        chunk = min(_QUERY_CHUNK, m)
+        pad = (-m) % chunk
+        qs_p = jnp.pad(qs, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        ord_p = jnp.pad(order, ((0, pad), (0, 0))).reshape(-1, chunk, order.shape[-1])
+
+        def one(args):
+            q_chunk, o_chunk = args
+            d2 = _pairwise_dist2(q_chunk, pts)
+            d2_sorted = jnp.take_along_axis(d2, o_chunk, axis=-1)
+            rank_idx, cnt = _first_k_selection(d2_sorted < r2, nsample)
+            idx = jnp.take_along_axis(o_chunk, rank_idx, axis=-1)
+            return idx.astype(jnp.int32), cnt
+
+        idx, cnt = jax.lax.map(one, (qs_p, ord_p))
+        return idx.reshape(-1, nsample)[:m], cnt.reshape(-1)[:m]
+
+    return _batched(per_cloud)(xyz, new_xyz, sort_idx)
+
+
+def group_points(points: Array, idx: Array) -> Array:
+    """points: [b, n, c], idx: int [b, m, s] -> [b, m, s, c].
+
+    Replaces CUDA GroupPoint (tf_grouping_g.cu:362); XLA's gather provides the
+    scatter-add gradient automatically."""
+    b, m, s = idx.shape
+    flat = idx.reshape(b, m * s)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(b, m, s, points.shape[-1])
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def knn_points(k: int, xyz: Array, new_xyz: Array):
+    """k nearest neighbors (reference knn_point, tf_grouping.py:130).
+
+    -> (dist2 [b, m, k], idx [b, m, k])."""
+
+    def per_cloud(pts, qs):
+        def one(q_chunk):
+            d2 = _pairwise_dist2(q_chunk, pts)
+            neg, idx = jax.lax.top_k(-d2, k)
+            return -neg, idx.astype(jnp.int32)
+
+        m = qs.shape[0]
+        chunk = min(_QUERY_CHUNK, m)
+        pad = (-m) % chunk
+        qs_p = jnp.pad(qs, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        d, i = jax.lax.map(one, qs_p)
+        return d.reshape(-1, k)[:m], i.reshape(-1, k)[:m]
+
+    return _batched(per_cloud)(xyz, new_xyz)
+
+
+# ---------------------------------------------------------------------------
+# rotated-box interior queries (RoI pooling support)
+# ---------------------------------------------------------------------------
+
+def _points_in_box_mask(pts: Array, boxes: Array) -> Array:
+    """pts: [n, 3], boxes: [m, 7] -> bool [m, n].
+
+    Same test as CUDA point_inside_box_3d (tf_grouping_g.cu:27): canonical
+    rotate into the box frame; y inside (by - h, by]; closed x/z bounds."""
+    canon = canonicalize_points(
+        jnp.broadcast_to(pts[None], (boxes.shape[0],) + pts.shape), boxes
+    )  # [m, n, 3]
+    l, h, w = boxes[:, 3:4], boxes[:, 4:5], boxes[:, 5:6]
+    in_x = jnp.abs(canon[..., 0]) <= l / 2.0
+    in_z = jnp.abs(canon[..., 2]) <= w / 2.0
+    # CUDA prefilter: y > by excluded, (by - y) > h excluded
+    in_y = (canon[..., 1] <= 0.0) & (canon[..., 1] >= -h)
+    return in_x & in_y & in_z
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def query_boxes_3d_points(xyz: Array, boxes: Array, nsample: int):
+    """First-nsample interior points per rotated box (tf_grouping_g.cu:46).
+
+    xyz: [b, n, 3], boxes: [b, m, 7] -> (idx [b, m, nsample], cnt [b, m])."""
+
+    def per_cloud(pts, bxs):
+        valid = _points_in_box_mask(pts, bxs)  # [m, n]
+        return _first_k_selection(valid, nsample)
+
+    return _batched(per_cloud)(xyz, boxes)
+
+
+@jax.jit
+def query_boxes_3d_mask(xyz: Array, boxes: Array) -> Array:
+    """Interior mask (tf_grouping_g.cu:100). -> int32 [b, m, n]."""
+
+    def per_cloud(pts, bxs):
+        return _points_in_box_mask(pts, bxs).astype(jnp.int32)
+
+    return _batched(per_cloud)(xyz, boxes)
+
+
+@jax.jit
+def query_points_iou(
+    xyz: Array, anchors: Array, gt_boxes: Array, iou_3d: Array
+) -> Array:
+    """PointsIoU(anchor, gt) = |pts in both| / |pts in either|, gated by
+    3D IoU > 1e-3 (tf_grouping_g.cu:139).
+
+    xyz: [b, n, 3]; anchors: [b, a, 7]; gt_boxes: [b, g, 7];
+    iou_3d: [b, a, g] -> [b, a, g]."""
+
+    def per_cloud(pts, an, gt, gate):
+        in_a = _points_in_box_mask(pts, an).astype(jnp.float32)  # [a, n]
+        in_g = _points_in_box_mask(pts, gt).astype(jnp.float32)  # [g, n]
+        inter = jnp.einsum(
+            "an,gn->ag", in_a, in_g, preferred_element_type=jnp.float32
+        )
+        cnt_a = jnp.sum(in_a, axis=-1)[:, None]
+        cnt_g = jnp.sum(in_g, axis=-1)[None, :]
+        union = jnp.maximum(cnt_a + cnt_g - inter, 1.0)
+        return jnp.where(gate >= 1e-3, inter / union, 0.0)
+
+    return _batched(per_cloud)(xyz, anchors, gt_boxes, iou_3d)

@@ -1,0 +1,50 @@
+"""Feature interpolation ops (PointRCNN FP layers).
+
+Replaces the reference CUDA/C++ interpolation op family
+(lib/utils/tf_ops/interpolation/): `three_nn` returns SQUARED distances to the
+3 nearest known points (tf_interpolate_g.cu:24 comment "with square
+distance"); `three_interpolate` is an inverse-distance weighted gather whose
+gradient XLA derives automatically (the CUDA build hand-writes the
+scatter-add)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ssd3d.ops.grouping import knn_points
+
+Array = jax.Array
+
+
+def three_nn(xyz1: Array, xyz2: Array):
+    """3 nearest known points for each unknown point.
+
+    xyz1 (unknown): [b, n, 3]; xyz2 (known): [b, m, 3]
+    -> (dist2 [b, n, 3], idx int32 [b, n, 3])."""
+    return knn_points(3, xyz2, xyz1)
+
+
+def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
+    """points: [b, m, c]; idx: [b, n, 3]; weight: [b, n, 3] -> [b, n, c]."""
+    return k_interpolate(points, idx, weight)
+
+
+def k_interpolate(points: Array, idx: Array, weight: Array) -> Array:
+    """General-k weighted gather (reference KInterpolate)."""
+    b, n, k = idx.shape
+    flat = idx.reshape(b, n * k)
+    gathered = jnp.take_along_axis(points, flat[..., None], axis=1)
+    gathered = gathered.reshape(b, n, k, points.shape[-1])
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def inverse_distance_weights(dist2: Array, eps: float = 1e-10) -> Array:
+    """Normalized 1/d weights from three_nn squared distances
+    (reference layers_util.py:206-210 uses 1/dist of the op's output)."""
+    d = jnp.maximum(dist2, eps)
+    inv = 1.0 / d
+    return inv / jnp.sum(inv, axis=-1, keepdims=True)

@@ -1,0 +1,94 @@
+"""Fixed-shape on-device NMS.
+
+The reference post-processor runs `tf.image.non_max_suppression` per class per
+batch element on axis-aligned BEV rectangles (postprocessor.py:84 +
+anchors_util.py:11). Here the same greedy score-ordered suppression is a
+static-shape program: sort by score, build the K×K IoU matrix (one dense
+MXU-friendly block — K is a few hundred), then a sequential keep-mask sweep in
+a fori_loop. Outputs are fixed-size index buffers + validity masks, so the
+whole detector forward stays jit-compiled with no host sync.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ssd3d.core.iou import aabb_iou
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def nms_bev(
+    bev_boxes: Array, scores: Array, max_output: int, iou_threshold: float
+):
+    """Greedy NMS on axis-aligned BEV rectangles.
+
+    bev_boxes: [k, 4] (x1, z1, x2, z2); scores: [k]
+    -> (idx int32 [max_output] into the input, valid bool [max_output]).
+    Matches tf.image.non_max_suppression: candidates visited in score order,
+    suppressed if IoU with any kept higher-scored box exceeds the threshold.
+    """
+    k = scores.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_sorted = bev_boxes[order]
+    iou = aabb_iou(boxes_sorted, boxes_sorted)  # [k, k]
+    suppress = iou > iou_threshold
+
+    def body(i, keep):
+        alive = keep[i]
+        kill = suppress[i] & (jnp.arange(k) > i) & alive
+        return keep & ~kill
+
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), bool))
+
+    # first max_output kept entries, in score order
+    iota = jnp.arange(k, dtype=jnp.int32)
+    sel = jnp.argsort(jnp.where(keep, iota, k + iota))[:max_output]
+    cnt = jnp.sum(keep)
+    valid = jnp.arange(max_output) < jnp.minimum(cnt, max_output)
+    idx = jnp.where(valid, order[sel], 0).astype(jnp.int32)
+    return idx, valid
+
+
+def batched_class_nms(
+    boxes_3d: Array,
+    bev_boxes: Array,
+    scores: Array,
+    max_output: int,
+    iou_threshold: float,
+):
+    """Per-class NMS over a batch (reference postprocessor.py:49-123).
+
+    boxes_3d: [b, n, cls, 7] (per-class regressed boxes; cls may be 1)
+    bev_boxes: [b, n, cls, 4]; scores: [b, n, cls]
+    -> dict with padded, fixed-shape results:
+       boxes  [b, cls * max_output, 7]
+       scores [b, cls * max_output]
+       classes int32 [b, cls * max_output] (0-based class id)
+       valid  bool [b, cls * max_output]
+    """
+    b, n, cls_num = scores.shape
+    reg_cls = boxes_3d.shape[2]
+
+    def per_elem(bx3d, bxbev, sc):
+        outs_b, outs_s, outs_c, outs_v = [], [], [], []
+        for c in range(cls_num):
+            reg_i = min(c, reg_cls - 1)
+            idx, valid = nms_bev(bxbev[:, reg_i], sc[:, c], max_output, iou_threshold)
+            outs_b.append(bx3d[:, reg_i][idx])
+            outs_s.append(jnp.where(valid, sc[:, c][idx], -1.0))
+            outs_c.append(jnp.full((max_output,), c, jnp.int32))
+            outs_v.append(valid)
+        return (
+            jnp.concatenate(outs_b, axis=0),
+            jnp.concatenate(outs_s, axis=0),
+            jnp.concatenate(outs_c, axis=0),
+            jnp.concatenate(outs_v, axis=0),
+        )
+
+    boxes, sc, cat, valid = jax.vmap(per_elem)(boxes_3d, bev_boxes, scores)
+    return {"boxes": boxes, "scores": sc, "classes": cat, "valid": valid}

@@ -1,0 +1,108 @@
+"""Pallas TPU kernel for farthest point sampling (D-FPS).
+
+FPS is inherently sequential in the sample count m (each pick depends on the
+running min-distance field), so the right TPU shape is: keep the ENTIRE loop
+in one kernel with all state resident in VMEM — the xyz coordinates (laid out
+coordinate-major), the [n] min-distance field, and the output index vector —
+so the m iterations run back-to-back on the VPU with zero HBM traffic and no
+per-step dispatch.
+
+Layout: n points are viewed as an (8, n/8) tile so every elementwise pass uses
+all 8 VPU sublanes. Argmax is a two-pass max + first-match-index reduction;
+the chosen point's coordinates are extracted with masked reductions instead of
+dynamic lane indexing (which Mosaic lowers poorly).
+
+Replaces the reference CUDA kernel tf_sampling_g.cu:124 (one block per batch
+element, shared-memory tree reduction) — same contract: first pick is index 0,
+ties go to the lowest index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_SUBLANES = 8
+
+
+def _fps_kernel(n: int, m: int, xyz_ref, out_ref, dist_ref, idx_scratch):
+    """One batch element. xyz_ref: [3, 8, n/8]; out_ref: [1, m] int32."""
+    cols = n // _SUBLANES
+    xs = xyz_ref[0, 0]  # [8, cols]
+    ys = xyz_ref[0, 1]
+    zs = xyz_ref[0, 2]
+
+    # linear index of element (r, c) = r * cols + c (row-major over the tile)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 1)
+    linear = row_ids * cols + col_ids
+
+    dist_ref[:] = jnp.full((_SUBLANES, cols), jnp.inf, jnp.float32)
+    idx_scratch[:] = jnp.zeros((1, m), jnp.int32)  # pick 0 = index 0
+
+    def body(j, carry):
+        sel_x, sel_y, sel_z = carry
+        d = (xs - sel_x) ** 2 + (ys - sel_y) ** 2 + (zs - sel_z) ** 2
+        dist = jnp.minimum(dist_ref[:], d)
+        dist_ref[:] = dist
+
+        best_val = jnp.max(dist)
+        big = jnp.int32(n)
+        best = jnp.min(jnp.where(dist == best_val, linear, big))
+
+        hit = linear == best
+        nx = jnp.sum(jnp.where(hit, xs, 0.0))
+        ny = jnp.sum(jnp.where(hit, ys, 0.0))
+        nz = jnp.sum(jnp.where(hit, zs, 0.0))
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        idx_scratch[:] = jnp.where(slot == j, best, idx_scratch[:])
+        return nx, ny, nz
+
+    # pick 0 is point 0; iterations 1..m-1 measure distance to the last pick
+    x0 = xs[0, 0]
+    y0 = ys[0, 0]
+    z0 = zs[0, 0]
+    jax.lax.fori_loop(1, m, body, (x0, y0, z0))
+    out_ref[0] = idx_scratch[:]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def fps_pallas(xyz: Array, npoint: int) -> Array:
+    """xyz: [b, n, 3] float32 -> int32 [b, npoint]. n must be divisible by 8
+    (the KITTI/nuScenes point budgets are powers of two)."""
+    b, n, _ = xyz.shape
+    assert n % _SUBLANES == 0, f"n={n} must be a multiple of {_SUBLANES}"
+    cols = n // _SUBLANES
+    # coordinate-major layout: [b, 3, 8, n/8]
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1)).reshape(
+        b, 3, _SUBLANES, cols
+    )
+
+    kernel = functools.partial(_fps_kernel, n, npoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, _SUBLANES, cols),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, npoint), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((_SUBLANES, cols), jnp.float32),
+            pltpu.VMEM((1, npoint), jnp.int32),
+        ],
+    )(xyz_t)
+    return out.reshape(b, npoint)

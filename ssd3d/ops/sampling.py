@@ -1,0 +1,110 @@
+"""Point sampling ops: D-FPS, F-FPS, gathers.
+
+TPU-native replacements for the reference CUDA sampling ops
+(lib/utils/tf_ops/sampling/tf_sampling_g.cu):
+
+- `farthest_point_sample` (D-FPS, kernel at tf_sampling_g.cu:124): iterative
+  max-min over xyz. Inherently sequential in the number of samples; here a
+  `lax.fori_loop` whose body is pure vector work (one [n]-sized distance
+  update + argmax per step) that XLA keeps entirely on-chip. A fused Pallas
+  kernel lives in ssd3d/ops/pallas/fps.py and is used automatically on TPU.
+- `farthest_point_sample_from_dist` (F-FPS, tf_sampling_g.cu:181): same loop
+  reading rows of a precomputed [n, n] distance matrix (the caller builds it
+  with one MXU matmul — see geometry.square_distance).
+- `gather_points` (tf_sampling_g.cu:320): plain take_along_axis; XLA's gather
+  is differentiable, so no hand-written scatter-add gradient is needed.
+- `gather_by_mask` (tf_sampling_g.cu:351): first `k` mask-true rows, padded by
+  repeating the first selected row.
+
+Semantics parity: index 0 is always the first FPS pick; argmax ties resolve to
+the lowest index (measure-zero difference vs the CUDA tree reduction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def farthest_point_sample(xyz: Array, npoint: int, use_pallas: bool = True) -> Array:
+    """D-FPS. xyz: [b, n, 3] -> int32 [b, npoint]."""
+    if use_pallas and jax.default_backend() == "tpu":
+        from ssd3d.ops.pallas.fps import fps_pallas
+
+        return fps_pallas(xyz, npoint)
+    return _fps_reference(xyz, npoint)
+
+
+def _fps_reference(xyz: Array, npoint: int) -> Array:
+    def single(pts: Array) -> Array:
+        n = pts.shape[0]
+
+        def body(i, state):
+            min_dist, last, out = state
+            d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+            min_dist = jnp.minimum(min_dist, d)
+            nxt = jnp.argmax(min_dist).astype(jnp.int32)
+            return min_dist, nxt, out.at[i].set(nxt)
+
+        out0 = jnp.zeros((npoint,), jnp.int32)  # pick 0 is always index 0
+        dist0 = jnp.full((n,), jnp.inf, pts.dtype)
+        _, _, out = jax.lax.fori_loop(
+            1, npoint, body, (dist0, jnp.int32(0), out0)
+        )
+        return out
+
+    return jax.vmap(single)(xyz)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def farthest_point_sample_from_dist(dist: Array, npoint: int) -> Array:
+    """F-FPS from a precomputed squared-distance matrix.
+
+    dist: [b, n, n] -> int32 [b, npoint]."""
+
+    def single(mat: Array) -> Array:
+        n = mat.shape[0]
+
+        def body(i, state):
+            min_dist, last, out = state
+            min_dist = jnp.minimum(min_dist, mat[last])
+            nxt = jnp.argmax(min_dist).astype(jnp.int32)
+            return min_dist, nxt, out.at[i].set(nxt)
+
+        out0 = jnp.zeros((npoint,), jnp.int32)
+        dist0 = jnp.full((n,), jnp.inf, mat.dtype)
+        _, _, out = jax.lax.fori_loop(
+            1, npoint, body, (dist0, jnp.int32(0), out0)
+        )
+        return out
+
+    return jax.vmap(single)(dist)
+
+
+def gather_points(points: Array, idx: Array) -> Array:
+    """points: [b, n, c], idx: int [b, m] -> [b, m, c]."""
+    return jnp.take_along_axis(points, idx[..., None], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def gather_by_mask(points: Array, mask: Array, k: int) -> Array:
+    """First `k` rows where mask is true, padded by repeating the first hit.
+
+    points: [b, n, c]; mask: [b, n] (bool or 0/1) -> [b, k, c].
+    Used by the two-stage detector to cut the RCNN minibatch out of the
+    proposal set (reference sampler.py:41 + tf_sampling_g.cu:351)."""
+    b, n, _ = points.shape
+    mask = mask.astype(bool)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # stable order: mask-true rows first, original order preserved
+    key = jnp.where(mask, iota, n + iota)
+    order = jnp.argsort(key, axis=-1)[:, :k]  # [b, k]
+    cnt = jnp.sum(mask, axis=-1, keepdims=True)  # [b, 1]
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+    sel = jnp.where(slot < cnt, order, order[:, :1])
+    return gather_points(points, sel)
