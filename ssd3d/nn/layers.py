@@ -1,0 +1,113 @@
+"""Basic network layers.
+
+All "convolutions" in this model family are 1×1 (pointwise) — reference
+tf_util.conv1d/conv2d with kernel 1 — i.e. plain matmuls over the channel
+axis. On TPU they are written as Dense layers so XLA maps them straight onto
+the MXU and fuses the BN/ReLU epilogues.
+
+BatchNorm is hand-rolled (not nn.BatchNorm) because the reference schedules
+the moving-average decay over training (trainer_utils.py:15 get_bn_decay) —
+momentum must be a *call argument*, not a module attribute. Cross-device
+statistics sync (the reference's NCCL SyncBN, sync_bn.py:56) falls out of a
+single `lax.pmean` when `axis_name` is set — on TPU this rides the ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class BatchNorm(nn.Module):
+    """Batch normalization over all axes but the last, with schedulable
+    momentum and optional cross-device sync.
+
+    Running statistics live in the 'batch_stats' collection.
+    """
+
+    epsilon: float = 1e-3  # tf.contrib.layers.batch_norm default
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool, momentum: Array | float = 0.9):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(x), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return x * inv + (bias - mean * inv)
+
+
+class PointConv(nn.Module):
+    """1×1 conv (Dense) + optional BN/GN + ReLU — the reference's
+    tf_util.conv1d/conv2d with kernel size 1 (tf_util.py:51/:127)."""
+
+    channels: int
+    bn: bool = True
+    use_gn: bool = False
+    axis_name: str | None = None
+    activation: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9):
+        x = nn.Dense(
+            self.channels,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="conv",
+        )(x)
+        if self.bn and self.use_gn:
+            x = nn.GroupNorm(num_groups=min(32, self.channels), name="gn")(x)
+        elif self.bn:
+            x = BatchNorm(axis_name=self.axis_name, name="bn")(
+                x, train, bn_momentum
+            )
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+class SharedMLP(nn.Module):
+    """Stack of PointConv blocks applied pointwise."""
+
+    channels: Sequence[int]
+    bn: bool = True
+    use_gn: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9):
+        for i, ch in enumerate(self.channels):
+            x = PointConv(
+                ch,
+                bn=self.bn,
+                use_gn=self.use_gn,
+                axis_name=self.axis_name,
+                name=f"conv{i}",
+            )(x, train, bn_momentum)
+        return x

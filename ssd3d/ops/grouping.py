@@ -110,6 +110,53 @@ def ball_query_dilated(
     return _batched(per_cloud)(xyz, new_xyz)
 
 
+def ball_query_multi(
+    radius_list,
+    nsample_list,
+    xyz: Array,
+    new_xyz: Array,
+    dilated: bool = False,
+):
+    """All radius scales of one SA layer in a single distance pass.
+
+    The reference issues one CUDA ball query per radius (layers_util.py:134-147),
+    re-reading the point cloud each time; here the [chunk, n] distance tile is
+    computed once and every scale's first-k selection reads it. Returns lists
+    of (idx, cnt) per radius. With dilated=True, scale i selects the annulus
+    (radius_{i-1}, radius_i] plus the d == 0 self point (3DSSD dilated_group).
+    """
+    specs = []
+    for i, (r, ns) in enumerate(zip(radius_list, nsample_list)):
+        lo = radius_list[i - 1] if (dilated and i > 0) else 0.0
+        specs.append((lo * lo, r * r, ns, dilated and i > 0))
+
+    def per_cloud(pts, qs):
+        m = qs.shape[0]
+        chunk = min(_QUERY_CHUNK, m)
+        pad = (-m) % chunk
+        q = jnp.pad(qs, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+        def one(q_chunk):
+            d2 = _pairwise_dist2(q_chunk, pts)
+            outs = []
+            for lo2, hi2, ns, annulus in specs:
+                if annulus:
+                    valid = ((d2 >= lo2) & (d2 < hi2)) | (d2 == 0.0)
+                else:
+                    valid = d2 < hi2
+                outs.append(_first_k_selection(valid, ns))
+            return tuple(outs)
+
+        results = jax.lax.map(one, q)
+        return tuple(
+            (idx.reshape(-1, ns)[:m], cnt.reshape(-1)[:m])
+            for (idx, cnt), (_, _, ns, _) in zip(results, specs)
+        )
+
+    per_radius = _batched(per_cloud)(xyz, new_xyz)
+    return list(per_radius)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def ball_query_withidx(
     radius: float, nsample: int, xyz: Array, new_xyz: Array, sort_idx: Array

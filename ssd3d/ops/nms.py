@@ -47,10 +47,15 @@ def nms_bev(
 
     # first max_output kept entries, in score order
     iota = jnp.arange(k, dtype=jnp.int32)
-    sel = jnp.argsort(jnp.where(keep, iota, k + iota))[:max_output]
+    sel = jnp.argsort(jnp.where(keep, iota, k + iota))
+    picked = order[sel]
+    if max_output <= k:
+        picked = picked[:max_output]
+    else:
+        picked = jnp.pad(picked, (0, max_output - k))
     cnt = jnp.sum(keep)
     valid = jnp.arange(max_output) < jnp.minimum(cnt, max_output)
-    idx = jnp.where(valid, order[sel], 0).astype(jnp.int32)
+    idx = jnp.where(valid, picked, 0).astype(jnp.int32)
     return idx, valid
 
 

@@ -1,0 +1,208 @@
+"""Detection losses (reference lib/builder/loss_builder.py, all on device).
+
+Every loss keeps the reference's masking and normalization exactly:
+- classification: Is-Not / Focal / Center-ness over (pmask+nmask) points,
+  normalized by their count (loss_builder.py:58-96)
+- regression losses: huber over positive points, normalized by positive count
+- angle / bin losses: softmax CE on the bin + huber on the selected residual,
+  with the reference's quirk of masking INSIDE the huber (loss_builder.py:299)
+- corner loss with the predicted box decoded under the GT angle bin
+  (single_stage_detector.py:174-179)
+- vote loss against on-device vote targets (no py_func round trip)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ssd3d.core.geometry import boxes_to_corners, centerness
+from ssd3d.core.iou import boxes_iou_matched
+
+Array = jax.Array
+
+
+def huber(error: Array, delta: float = 1.0) -> Array:
+    abs_e = jnp.abs(error)
+    quad = jnp.minimum(abs_e, delta)
+    return 0.5 * quad * quad + delta * (abs_e - quad)
+
+
+def sigmoid_ce(logits: Array, labels: Array) -> Array:
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def softmax_ce(logits: Array, label_idx: Array) -> Array:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, label_idx[..., None], axis=-1)[..., 0]
+
+
+def focal_loss(logits: Array, targets: Array, gamma=2.0, alpha=0.25) -> Array:
+    """Per-entry sigmoid focal loss (reference model_util.py:55)."""
+    ce = sigmoid_ce(logits, targets)
+    p = jax.nn.sigmoid(logits)
+    p_t = targets * p + (1 - targets) * (1 - p)
+    alpha_t = targets * alpha + (1 - targets) * (1 - alpha)
+    return jnp.power(1.0 - p_t, gamma) * alpha_t * ce
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    cls_loss_type: str  # 'Center-ness' | 'Is-Not' | 'Focal-loss'
+    cls_activation: str  # 'Sigmoid' | 'Softmax'
+    num_classes: int
+    num_angle_cls: int
+    centerness_range: tuple = (0.0, 1.0)
+    corner_loss: bool = False
+    vote_loss: bool = False
+    iou_loss: bool = False
+    attr_velo_loss: bool = False
+    reg_type: str = "Dist-Anchor-free"
+    reg_bin_cls_num: int = 12
+    expand_dims_length: float = 0.1  # vote-target box expansion
+
+    @classmethod
+    def from_cfg(cls, cfg, stage: str = "FIRST_STAGE", vote=False, iou=False):
+        sc = cfg.MODEL[stage]
+        num_cls = len(
+            cfg.DATASET.KITTI.CLS_LIST
+            if cfg.DATASET.TYPE == "KITTI"
+            else cfg.DATASET.NUSCENES.CLS_LIST
+        )
+        return cls(
+            cls_loss_type=sc.CLASSIFICATION_LOSS.TYPE,
+            cls_activation=sc.CLS_ACTIVATION,
+            num_classes=num_cls,
+            num_angle_cls=cfg.MODEL.ANGLE_CLS_NUM,
+            centerness_range=tuple(sc.CLASSIFICATION_LOSS.CENTER_NESS_LABEL_RANGE),
+            corner_loss=sc.CORNER_LOSS,
+            vote_loss=vote,
+            iou_loss=iou,
+            attr_velo_loss=sc.PREDICT_ATTRIBUTE_AND_VELOCITY,
+            reg_type=sc.REGRESSION_METHOD.TYPE,
+            reg_bin_cls_num=sc.REGRESSION_METHOD.BIN_CLASS_NUM,
+            expand_dims_length=cfg.TRAIN.AUGMENTATIONS.EXPAND_DIMS_LENGTH,
+        )
+
+
+def classification_loss(cfg: LossConfig, outputs, targets) -> Array:
+    pmask, nmask = targets["pmask"], targets["nmask"]
+    cls_mask = jnp.max(pmask + nmask, axis=-1)  # [bs, pts]
+    norm = jnp.maximum(1.0, jnp.sum(cls_mask))
+    logits = outputs["cls"]  # [bs, pts, c]
+    gt_cls = targets["gt_cls"]  # [bs, pts] (0 = background)
+
+    if cfg.cls_activation == "Sigmoid":
+        onehot = jax.nn.one_hot(gt_cls - 1, cfg.num_classes, dtype=logits.dtype)
+    if cfg.cls_loss_type == "Is-Not":
+        if cfg.cls_activation == "Softmax":
+            per_pt = softmax_ce(logits, gt_cls)
+        else:
+            per_pt = jnp.mean(sigmoid_ce(logits, onehot), axis=-1)
+    elif cfg.cls_loss_type == "Focal-loss":
+        per_pt = jnp.mean(focal_loss(logits, onehot), axis=-1)
+    else:  # Center-ness
+        base_xyz = jax.lax.stop_gradient(outputs["base_xyz"])
+        boxes = targets["gt_boxes"]  # [bs, pts, cls, 7]
+        box_per_pt = jnp.sum(boxes * pmask[..., None], axis=2)
+        ctr = centerness(base_xyz, box_per_pt)
+        ctr = ctr * jnp.max(pmask, axis=-1)
+        lo, hi = cfg.centerness_range
+        ctr = ctr * (hi - lo) + lo
+        per_pt = jnp.mean(sigmoid_ce(logits, onehot * ctr[..., None]), axis=-1)
+    return jnp.sum(per_pt * cls_mask) / norm
+
+
+def offset_loss_res(cfg: LossConfig, outputs, targets) -> Array:
+    pmask = targets["pmask"]
+    norm = jnp.maximum(1.0, jnp.sum(pmask))
+    err = outputs["offset"] - targets["gt_offset"]
+    return jnp.sum(jnp.sum(huber(err), axis=-1) * pmask) / norm
+
+
+def offset_loss_bin(cfg: LossConfig, outputs, targets) -> Array:
+    """Bin-Anchor offset: x/z bin CE + selected residual + y/size huber."""
+    pmask = targets["pmask"]
+    norm = jnp.maximum(1.0, jnp.sum(pmask))
+    nb = cfg.reg_bin_cls_num
+    gt = targets["gt_offset"]  # [..., 8] = xbin,xres,zbin,zres,yres,3size
+    pred = outputs["offset"]  # [..., 4nb+4]
+
+    def bin_res(gt_bin, gt_res, pred_bin, pred_res):
+        gt_bin = gt_bin.astype(jnp.int32)
+        bin_l = jnp.sum(softmax_ce(pred_bin, gt_bin) * pmask) / norm
+        onehot = jax.nn.one_hot(gt_bin, nb, dtype=pred_res.dtype)
+        sel = jnp.sum(pred_res * onehot, axis=-1)
+        res_l = jnp.sum(huber((sel - gt_res) * pmask)) / norm
+        return bin_l + res_l
+
+    total = bin_res(gt[..., 0], gt[..., 1], pred[..., 0:nb], pred[..., nb:2 * nb])
+    total += bin_res(gt[..., 2], gt[..., 3], pred[..., 2 * nb:3 * nb],
+                     pred[..., 3 * nb:4 * nb])
+    other = jnp.sum(huber(pred[..., 4 * nb:] - gt[..., 4:]), axis=-1) * pmask
+    return total + jnp.sum(other) / norm
+
+
+def angle_loss(cfg: LossConfig, outputs, targets) -> Array:
+    pmask = targets["pmask"]
+    norm = jnp.maximum(1.0, jnp.sum(pmask))
+    gt_bin = targets["gt_angle_cls"].astype(jnp.int32)
+    gt_res = targets["gt_angle_res"]
+    bin_l = jnp.sum(softmax_ce(outputs["angle_cls"], gt_bin) * pmask) / norm
+    onehot = jax.nn.one_hot(gt_bin, cfg.num_angle_cls,
+                            dtype=outputs["angle_res"].dtype)
+    sel = jnp.sum(outputs["angle_res"] * onehot, axis=-1)
+    res_l = jnp.sum(huber((sel - gt_res) * pmask)) / norm
+    return bin_l + res_l
+
+
+def corner_loss(cfg: LossConfig, pred_boxes_gt_angle, targets) -> Array:
+    """pred_boxes_gt_angle: [bs, pts, cls, 7] decoded with the GT angle bin."""
+    pmask = targets["pmask"]
+    norm = jnp.maximum(1.0, jnp.sum(pmask))
+    pred_corners = boxes_to_corners(pred_boxes_gt_angle)
+    gt_corners = boxes_to_corners(targets["gt_boxes"])
+    per = jnp.sum(huber(pred_corners - gt_corners), axis=(-2, -1)) * pmask
+    return jnp.sum(per) / norm
+
+
+def vote_loss(vote_offset, vote_mask, vote_target) -> Array:
+    per = jnp.sum(huber(vote_target - vote_offset), axis=-1) * vote_mask
+    return jnp.sum(per) / jnp.maximum(1.0, jnp.sum(vote_mask))
+
+
+def iou_branch_loss(cfg: LossConfig, outputs, targets, anchors) -> Array:
+    """Sparse-to-dense IoU branch (loss_builder.py:140-164): regress the
+    (normalized) 3D IoU between the proposals and their assigned GTs."""
+    pmask = jnp.max(targets["pmask"], axis=-1)
+    norm = jnp.maximum(1.0, jnp.sum(pmask))
+    onehot = jax.nn.one_hot(targets["gt_cls"] - 1, cfg.num_classes)
+    cls_num = anchors.shape[2]
+    _, tgt_iou_3d = boxes_iou_matched(
+        anchors.reshape(-1, 7), targets["gt_boxes"][:, :, :cls_num].reshape(-1, 7)
+    )
+    tgt = tgt_iou_3d.reshape(anchors.shape[:3]) * 2.0 - 1.0
+    tgt = tgt * onehot[..., :cls_num]
+    per = jnp.mean(huber(outputs["iou"] - tgt), axis=-1) * pmask
+    return jnp.sum(per) / norm
+
+
+def attr_velo_loss(cfg: LossConfig, outputs, targets) -> tuple[Array, Array]:
+    pmask = targets["pmask"]
+    gt_attr = targets["gt_attribute"]  # [bs, pts, cls]
+    attr_mask = (gt_attr >= 0).astype(jnp.float32) * pmask
+    onehot = jax.nn.one_hot(gt_attr, 8)
+    a = sigmoid_ce(outputs["attribute"], onehot) * attr_mask[..., None]
+    attr_l = jnp.sum(a) / (jnp.maximum(1.0, jnp.sum(attr_mask)) * 8.0)
+
+    gt_velo = targets["gt_velocity"]
+    velo_ok = jnp.logical_not(jnp.isnan(jnp.sum(gt_velo, axis=-1)))
+    velo_mask = velo_ok.astype(jnp.float32) * pmask
+    gt_velo = jnp.where(jnp.isnan(gt_velo), 0.0, gt_velo)
+    v = jnp.sum(huber(outputs["velocity"] - gt_velo), axis=-1) * velo_mask
+    velo_l = jnp.sum(v) / jnp.maximum(1.0, jnp.sum(velo_mask))
+    return attr_l, velo_l

@@ -1,0 +1,165 @@
+"""Single-stage train step: forward + assign + losses + update, one program.
+
+Replaces the reference's multi-part step (per-GPU towers, host py_func target
+assignment, CPU IoU op, gpu:0 gradient average — trainer.py:120-149) with ONE
+jit-compiled function over a device mesh: the batch axis is sharded on
+'data', parameters are replicated, and XLA GSPMD inserts the gradient
+all-reduce over ICI. Batch-norm statistics are computed over the global batch
+(= synchronized BN, the reference's SyncBN but free).
+
+Gradient clipping matches the reference's global-norm 5.0 (trainer.py:144),
+applied to the (already batch-averaged) gradient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ssd3d.train import losses as L
+from ssd3d.train.assigner import AssignerConfig, assign_targets, vote_targets
+from ssd3d.train.schedules import bn_momentum, learning_rate
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(solver_cfg):
+    """SGD+momentum or Adam, with piecewise-constant LR and global-norm clip."""
+    lr = lambda step: learning_rate(solver_cfg, step)
+    if solver_cfg.TYPE == "Adam":
+        opt = optax.adam(lr)
+    elif solver_cfg.TYPE == "SGD":
+        opt = optax.sgd(lr, momentum=solver_cfg.MOMENTUM)
+    else:
+        raise ValueError(f"unknown solver {solver_cfg.TYPE}")
+    return optax.chain(optax.clip_by_global_norm(5.0), opt)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainGraph:
+    """Everything static the train step needs."""
+
+    model: Any  # SingleStageDetector module
+    spec: Any  # DetectorSpec
+    loss_cfg: L.LossConfig
+    assigner_cfg: AssignerConfig
+    solver_cfg: Any
+    tx: Any
+
+    @classmethod
+    def build(cls, cfg, model, spec):
+        has_vote = any(
+            l[11] == "Vote_Layer" for l in cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE
+        )
+        has_iou = any(h[5] == "IoU" for h in cfg.MODEL.NETWORK.FIRST_STAGE.HEAD)
+        return cls(
+            model=model,
+            spec=spec,
+            loss_cfg=L.LossConfig.from_cfg(cfg, "FIRST_STAGE", vote=has_vote,
+                                           iou=has_iou),
+            assigner_cfg=AssignerConfig.from_cfg(cfg.MODEL.FIRST_STAGE),
+            solver_cfg=cfg.SOLVER,
+            tx=make_optimizer(cfg.SOLVER),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, example_points) -> TrainState:
+        variables = self.model.init(rng, example_points, False)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+    # ------------------------------------------------------------------
+    def compute_losses(self, params, batch_stats, batch, rng, bn_m):
+        """batch: points [bs,n,3+c], gt_boxes [bs,g,7], gt_labels [bs,g]."""
+        outputs, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["points"], True, bn_m, mutable=["batch_stats"],
+        )
+        base_xyz = outputs["base_xyz"]
+        anchors = self.spec.anchors(base_xyz)
+
+        targets = assign_targets(
+            self.assigner_cfg, rng, base_xyz, anchors,
+            batch["gt_boxes"], batch["gt_labels"],
+            gt_velocity=batch.get("gt_velocity"),
+            gt_attribute=batch.get("gt_attribute"),
+        )
+        gt_offset, gt_angle_cls, gt_angle_res = self.spec.coder.encode(
+            base_xyz, targets["gt_boxes"],
+            anchors if anchors.shape[-1] == 7 else targets["gt_boxes"],
+        )
+        targets["gt_offset"] = gt_offset
+        targets["gt_angle_cls"] = gt_angle_cls
+        targets["gt_angle_res"] = gt_angle_res
+
+        cfg = self.loss_cfg
+        loss_dict = {"cls": L.classification_loss(cfg, outputs, targets)}
+        if cfg.reg_type == "Bin-Anchor":
+            loss_dict["offset"] = L.offset_loss_bin(cfg, outputs, targets)
+        else:
+            loss_dict["offset"] = L.offset_loss_res(cfg, outputs, targets)
+        loss_dict["angle"] = L.angle_loss(cfg, outputs, targets)
+
+        if cfg.corner_loss:
+            # decode predicted boxes under the GT angle bin
+            # (single_stage_detector.py:174-179)
+            gt_bin_onehot = jax.nn.one_hot(
+                gt_angle_cls, cfg.num_angle_cls, dtype=outputs["angle_res"].dtype
+            )
+            pred_boxes = self.spec.coder.decode(
+                base_xyz, outputs["offset"], gt_bin_onehot,
+                outputs["angle_res"], anchors,
+            )
+            loss_dict["corner"] = L.corner_loss(cfg, pred_boxes, targets)
+        if cfg.vote_loss and outputs["vote_base"]:
+            vmask, vtarget = vote_targets(
+                outputs["vote_base"][0], batch["gt_boxes"],
+                expand=cfg.expand_dims_length,
+            )
+            loss_dict["vote"] = L.vote_loss(outputs["vote_offset"][0], vmask, vtarget)
+        if cfg.iou_loss:
+            loss_dict["iou"] = L.iou_branch_loss(cfg, outputs, targets, anchors)
+        if cfg.attr_velo_loss:
+            attr_l, velo_l = L.attr_velo_loss(cfg, outputs, targets)
+            loss_dict["attribute"] = attr_l
+            loss_dict["velocity"] = velo_l
+
+        total = sum(loss_dict.values())
+        return total, (loss_dict, mutated["batch_stats"])
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch: dict, rng: Array):
+        """One optimizer step. Jit this with the batch sharded on 'data'."""
+        bn_m = bn_momentum(self.solver_cfg, state.step)
+        rng = jax.random.fold_in(rng, state.step)
+        (total, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            self.compute_losses, has_aux=True
+        )(state.params, state.batch_stats, batch, rng, bn_m)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = dict(loss_dict, total=total,
+                       lr=learning_rate(self.solver_cfg, state.step))
+        return new_state, metrics
