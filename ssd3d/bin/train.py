@@ -1,0 +1,27 @@
+"""Training CLI (reference lib/core/trainer.py).
+
+    python -m ssd3d.bin.train --cfg configs/kitti/3dssd/3dssd.yaml \
+        --log_dir runs/3dssd [KEY VALUE ...]
+"""
+
+import argparse
+
+from ssd3d.config import load_cfg
+from ssd3d.train.trainer import Trainer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--log_dir", default="runs/default")
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max_iterations", type=int, default=None)
+    ap.add_argument("opts", nargs="*", default=[])
+    args = ap.parse_args()
+    cfg = load_cfg(args.cfg, args.opts)
+    Trainer(cfg, args.log_dir, args.split, args.seed).train(args.max_iterations)
+
+
+if __name__ == "__main__":
+    main()

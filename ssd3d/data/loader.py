@@ -1,0 +1,212 @@
+"""Host input pipeline: per-scan load + augment + point budget + batching.
+
+Replaces the reference's ZMQ multiprocess tensorpack pipeline
+(dataset/data_provider/data_provider.py) with a deterministic, seed-keyed
+thread-prefetched loader: each sample is produced by a pure function of
+(epoch seed, sample index), so any batch is reproducible regardless of worker
+scheduling — the property the reference pipeline lacked. Batches are
+fixed-shape: points padded/sampled to POINTS_NUM_FOR_TRAINING and GT tensors
+zero-padded to a static cap (the reference pads to the per-batch max, which
+would retrigger XLA compilation; a static cap keeps one compiled program).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from ssd3d.data.augment import Augmentor
+from ssd3d.data.kitti_io import KittiScene
+
+MAX_GT = 64  # static GT cap; KITTI scenes top out far below this after mixup
+
+
+class MixupDatabase:
+    """Round-robin shuffled sampler over per-class GT crops
+    (builder/mixup_sampler.py)."""
+
+    def __init__(self, root: str, cls_list, num_list, cls2idx, seed: int = 0):
+        self.entries = {}
+        self.cls_list = list(cls_list)
+        self.num_list = list(num_list)
+        self.cls2idx = cls2idx
+        self._perm = {}
+        self._pos = {}
+        rng = np.random.default_rng(seed)
+        for cls in self.cls_list:
+            cls_dir = os.path.join(root, cls)
+            with open(os.path.join(cls_dir, "list.txt")) as f:
+                names = [line.strip() for line in f if line.strip()]
+            self.entries[cls] = [
+                os.path.join(cls_dir, f"{n}.npz") for n in names
+            ]
+            self._perm[cls] = rng.permutation(len(names))
+            self._pos[cls] = 0
+
+    def _draw(self, rng, cls, num):
+        perm, pos = self._perm[cls], self._pos[cls]
+        if pos + num >= len(perm):
+            out = perm[pos:].copy()
+            self._perm[cls] = rng.permutation(len(perm))
+            self._pos[cls] = 0
+        else:
+            out = perm[pos:pos + num]
+            self._pos[cls] = pos + num
+        return out
+
+    def sample(self, rng):
+        boxes, classes, points = [], [], []
+        for cls, num in zip(self.cls_list, self.num_list):
+            for i in self._draw(rng, cls, num):
+                data = np.load(self.entries[cls][i])
+                boxes.append(data["box_3d"])
+                classes.append(self.cls2idx[cls])
+                points.append(data["points"])
+        return np.stack(boxes), np.asarray(classes, np.int32), points
+
+
+def budget_points(rng: np.random.Generator, points, sem_labels, sem_dists,
+                  target: int):
+    """Random sample to exactly `target` points; oversample WITHOUT
+    replacement first, then pad WITH replacement
+    (kitti_dataloader.py:137-151)."""
+    n = len(points)
+    if n >= target:
+        sel = rng.choice(n, target, replace=False)
+    else:
+        sel = np.concatenate(
+            [rng.permutation(n), rng.choice(n, target - n, replace=True)]
+        )
+    return points[sel], sem_labels[sel], sem_dists[sel]
+
+
+class KittiLoader:
+    """Loads preprocessed .npz scans, augments (train), budgets points, and
+    emits fixed-shape batches."""
+
+    def __init__(self, cfg, split: str, data_dir: str | None = None,
+                 training: bool = True, seed: int = 0,
+                 mixup_db: MixupDatabase | None = None):
+        kcfg = cfg.DATASET.KITTI
+        self.cfg = cfg
+        self.training = training
+        self.seed = seed
+        self.points_num = cfg.MODEL.POINTS_NUM_FOR_TRAINING
+        self.data_dir = data_dir or os.path.join(kcfg.SAVE_NUMPY_PATH, split)
+        with open(os.path.join(self.data_dir, "list.txt")) as f:
+            self.names = [line.strip() for line in f if line.strip()]
+        if training and cfg.TRAIN.AUGMENTATIONS.MIXUP.OPEN and mixup_db is None:
+            cls2idx = {c: i + 1 for i, c in enumerate(kcfg.CLS_LIST)}
+            mixup_db = MixupDatabase(
+                os.path.join(kcfg.SAVE_NUMPY_PATH,
+                             cfg.TRAIN.AUGMENTATIONS.MIXUP.SAVE_NUMPY_PATH,
+                             cfg.TRAIN.AUGMENTATIONS.MIXUP.PC_LIST),
+                cfg.TRAIN.AUGMENTATIONS.MIXUP.CLASS,
+                cfg.TRAIN.AUGMENTATIONS.MIXUP.NUMBER,
+                cls2idx, seed=seed,
+            )
+        self.augmentor = Augmentor(cfg, mixup_db) if training else None
+        self.scene = (
+            KittiScene(kcfg.BASE_DIR_PATH, "training") if training else None
+        )
+
+    def __len__(self):
+        return len(self.names)
+
+    def load_sample(self, index: int, epoch_seed: int = 0) -> dict:
+        """Deterministic function of (epoch_seed, index)."""
+        name = self.names[index]
+        data = np.load(os.path.join(self.data_dir, f"{name}.npz"))
+        points = data["points"]
+        sem_labels = data["sem_labels"]
+        sem_dists = data["sem_dists"]
+        boxes = data["boxes_3d"] if "boxes_3d" in data else np.zeros((1, 7), np.float32)
+        classes = data["classes"] if "classes" in data else np.zeros((1,), np.int32)
+
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch_seed, int(name)])
+        )
+        if self.training and self.augmentor is not None:
+            try:
+                plane = self.scene.plane(int(name))
+            except FileNotFoundError:
+                plane = np.array([0.0, -1.0, 0.0, 1.65])  # flat-road fallback
+            points, sem_labels, sem_dists, boxes, classes = self.augmentor(
+                rng, points, sem_labels, sem_dists, boxes, classes, plane
+            )
+        points, sem_labels, sem_dists = budget_points(
+            rng, points, sem_labels, sem_dists, self.points_num
+        )
+
+        gt = np.zeros((MAX_GT, 7), np.float32)
+        labels = np.zeros((MAX_GT,), np.int32)
+        k = min(len(boxes), MAX_GT)
+        gt[:k] = boxes[:k]
+        labels[:k] = classes[:k]
+        return {
+            "points": points.astype(np.float32),
+            "sem_labels": sem_labels.astype(np.int32),
+            "gt_boxes": gt,
+            "gt_labels": labels,
+            "calib_P2": data["calib_P2"].astype(np.float32),
+            "name": int(name),
+        }
+
+    # ------------------------------------------------------------------
+    def batches(self, batch_size: int, epochs: int | None = None,
+                num_threads: int = 2, shuffle: bool | None = None):
+        """Yield stacked fixed-shape batches, thread-prefetched."""
+        shuffle = self.training if shuffle is None else shuffle
+        n = len(self.names)
+
+        def index_stream():
+            epoch = 0
+            while epochs is None or epoch < epochs:
+                order = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, epoch])
+                ).permutation(n) if shuffle else np.arange(n)
+                for i in order:
+                    yield epoch, int(i)
+                epoch += 1
+
+        def collate(samples):
+            keys = ("points", "sem_labels", "gt_boxes", "gt_labels", "calib_P2")
+            batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+            batch["names"] = np.asarray([s["name"] for s in samples])
+            return batch
+
+        stream = index_stream()
+        lock = threading.Lock()
+        out_q: queue.Queue = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    try:
+                        idxs = [next(stream) for _ in range(batch_size)]
+                    except StopIteration:
+                        out_q.put(None)
+                        return
+                samples = [self.load_sample(i, epoch_seed=e) for e, i in idxs]
+                out_q.put(collate(samples))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(max(1, num_threads))
+        ]
+        for t in threads:
+            t.start()
+        finished = 0
+        try:
+            while finished < len(threads):
+                item = out_q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                yield item
+        finally:
+            stop.set()

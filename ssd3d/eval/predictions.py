@@ -1,0 +1,163 @@
+"""Detection post-processing on the host: image-space boxes, KITTI dumps,
+val-split inference + AP evaluation.
+
+Parity targets: reference kitti_dataloader.py:336-492 (evaluate_map /
+save_predictions) and anchors_util.py:94 (corner projection, clipped to the
+image)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ssd3d.eval.kitti_ap import EvalObject, evaluate_kitti_ap
+
+
+def boxes_to_corners_np(boxes: np.ndarray) -> np.ndarray:
+    """box_3d [n, 7] -> corners [n, 8, 3] (numpy twin of geometry.boxes_to_corners)."""
+    x, y, z, l, h, w, ry = [boxes[:, i] for i in range(7)]
+    zeros = np.zeros_like(l)
+    xs = np.stack([l / 2, l / 2, -l / 2, -l / 2] * 2, 1)
+    ys = np.stack([zeros, zeros, zeros, zeros, -h, -h, -h, -h], 1)
+    zs = np.stack([w / 2, -w / 2, -w / 2, w / 2] * 2, 1)
+    c, s = np.cos(ry), np.sin(ry)
+    cx = c[:, None] * xs + s[:, None] * zs + x[:, None]
+    cy = ys + y[:, None]
+    cz = -s[:, None] * xs + c[:, None] * zs + z[:, None]
+    return np.stack([cx, cy, cz], axis=-1)
+
+
+def project_corners_to_image(corners: np.ndarray, P2: np.ndarray,
+                             img_shape=(375, 1242)) -> np.ndarray:
+    """corners [n, 8, 3] -> clipped 2D boxes [n, 4] = x1, y1, x2, y2."""
+    n = len(corners)
+    pts = corners.reshape(-1, 3)
+    hom = np.concatenate([pts, np.ones((len(pts), 1), pts.dtype)], axis=1)
+    uvw = hom @ P2.T
+    uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
+    uv = uv.reshape(n, 8, 2)
+    h, w = img_shape
+    x1 = np.clip(uv[:, :, 0].min(1), 0, w)
+    x2 = np.clip(uv[:, :, 0].max(1), 0, w)
+    y1 = np.clip(uv[:, :, 1].min(1), 0, h)
+    y2 = np.clip(uv[:, :, 1].max(1), 0, h)
+    return np.stack([x1, y1, x2, y2], axis=1)
+
+
+def detections_to_eval_objects(boxes_3d, scores, classes, cls_list, P2,
+                               img_shape=(375, 1242)) -> list:
+    """Thresholded detections of one scan -> EvalObject list."""
+    if len(boxes_3d) == 0:
+        return []
+    corners = boxes_to_corners_np(boxes_3d)
+    box2d = project_corners_to_image(corners, P2, img_shape)
+    out = []
+    for i in range(len(boxes_3d)):
+        b = boxes_3d[i]
+        out.append(EvalObject(
+            type=cls_list[int(classes[i])],
+            box2d=box2d[i],
+            t=b[0:3], l=float(b[3]), h=float(b[4]), w=float(b[5]),
+            ry=float(b[6]),
+            alpha=float(b[6] - np.arctan2(b[0], b[2])),
+            score=float(scores[i]),
+        ))
+    return out
+
+
+def labels_to_eval_objects(labels) -> list:
+    """KittiLabel list -> EvalObject list (GT side)."""
+    return [
+        EvalObject(
+            type=o.type, box2d=o.box2d,
+            t=np.asarray(o.t), l=o.l, h=o.h, w=o.w, ry=o.ry, alpha=o.alpha,
+            truncation=o.truncation, occlusion=o.occlusion,
+        )
+        for o in labels
+    ]
+
+
+def save_kitti_predictions(path: str, boxes_3d, scores, classes, cls_list,
+                           P2, img_shape=(375, 1242)):
+    """Write one KITTI-format result txt (kitti_dataloader.py:459-492)."""
+    lines = []
+    if len(boxes_3d):
+        corners = boxes_to_corners_np(boxes_3d)
+        box2d = project_corners_to_image(corners, P2, img_shape)
+        for i in range(len(boxes_3d)):
+            b = boxes_3d[i]
+            lines.append(
+                f"{cls_list[int(classes[i])]} 0.00 0 -10 "
+                f"{box2d[i, 0]:.2f} {box2d[i, 1]:.2f} "
+                f"{box2d[i, 2]:.2f} {box2d[i, 3]:.2f} "
+                f"{b[4]:.2f} {b[5]:.2f} {b[3]:.2f} "
+                f"{b[0]:.2f} {b[1]:.2f} {b[2]:.2f} {b[6]:.2f} "
+                f"{scores[i]:.9f}\n"
+            )
+    with open(path, "w") as f:
+        f.writelines(lines)
+
+
+def run_inference_on_split(cfg, model, spec, variables, loader, scene,
+                           cls_thresh=0.3, save_dir=None, log=print,
+                           limit=None):
+    """Model over a (val) split: per-scan detections; optionally dumps KITTI
+    txts. Returns (det_per_image, gt_per_image, names)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def infer(v, pts):
+        out = model.apply(v, pts, False)
+        return spec.decode_and_nms(out)
+
+    det_per_image, gt_per_image, names = [], [], []
+    count = 0
+    for batch in loader.batches(1, epochs=1, num_threads=1, shuffle=False):
+        det = infer(variables, jnp.asarray(batch["points"]))
+        det = {k: np.asarray(v)[0] for k, v in det.items()}
+        keep = det["valid"] & (det["scores"] >= cls_thresh)
+        boxes = det["boxes"][keep]
+        scores = det["scores"][keep]
+        classes = det["classes"][keep]
+        name = int(batch["names"][0])
+        P2 = batch["calib_P2"][0]
+        det_per_image.append(
+            detections_to_eval_objects(
+                boxes, scores, classes, list(spec.cls_list), P2
+            )
+        )
+        gt_per_image.append(labels_to_eval_objects(scene.labels(name)))
+        names.append(name)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            save_kitti_predictions(
+                os.path.join(save_dir, f"{name:06d}.txt"),
+                boxes, scores, classes, list(spec.cls_list), P2,
+            )
+        count += 1
+        if count % 200 == 0:
+            log(f"inference {count} scans")
+        if limit and count >= limit:
+            break
+    return det_per_image, gt_per_image, names
+
+
+def evaluate_split(cfg, det_per_image, gt_per_image, cls_list, log=print):
+    """AP tables + the model-selection metric (Car moderate 3D, or mean
+    Ped/Cyc moderate — kitti_dataloader.py:410-437)."""
+    results = evaluate_kitti_ap(
+        gt_per_image, det_per_image, tuple(cls_list), compute_aos=True
+    )
+    for cls_name, metrics in results.items():
+        for metric, aps in metrics.items():
+            log(f"{cls_name} {metric:6s} AP E/M/H: "
+                + " ".join(f"{a:.2f}" for a in aps))
+    if "Car" in cls_list:
+        selection = results["Car"]["3d"][1]
+    else:
+        selection = (
+            results["Pedestrian"]["3d"][1] + results["Cyclist"]["3d"][1]
+        ) / 2.0
+    return results, selection

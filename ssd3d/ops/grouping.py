@@ -43,14 +43,50 @@ def _first_k_selection(valid: Array, nsample: int):
     """Select first-`nsample` true entries per row of `valid` [m, n].
 
     Returns (idx [m, nsample] int32, cnt [m] int32) with the CUDA pad rule:
-    slots beyond cnt repeat the first selected index (0 when cnt == 0)."""
+    slots beyond cnt repeat the first selected index (0 when cnt == 0).
+
+    Implementation: entirely gather/sort-free (both are pathological on TPU —
+    a top_k over `n - index` keys lowers to a full 16k stable sort per row,
+    ~100 ms per radius scale, and a cumsum binary search needs lane-dim
+    gathers at ~85 ms per step). Instead the mask is viewed as 128-wide
+    blocks: block counts + their exclusive prefix locate each output slot's
+    block with dense comparisons, and the block's content is fetched with a
+    one-hot MATMUL (MXU) rather than a gather; the in-block position is a
+    tiny masked min-reduction."""
     m, n = valid.shape
-    iota = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(valid, (n - iota).astype(jnp.float32), 0.0)
-    _, idx = jax.lax.top_k(key, nsample)  # lowest-index valid first
-    idx = idx.astype(jnp.int32)
+    BS = 128
+    pad = (-n) % BS
+    if pad:
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    nb = (n + pad) // BS
+    v = valid.reshape(m, nb, BS)
+    blk_cnt = jnp.sum(v, axis=-1, dtype=jnp.int32)  # [m, nb]
+    prefix = jnp.cumsum(blk_cnt, axis=-1) - blk_cnt  # exclusive [m, nb]
+    slots = jnp.arange(nsample, dtype=jnp.int32)
+
+    # slot s lives in the LAST block whose prefix <= s (empty blocks have
+    # zero count, so overshooting them is harmless)
+    le = prefix[:, :, None] <= slots[None, None, :]  # [m, nb, ns]
+    blk_of = jnp.sum(le, axis=1, dtype=jnp.int32) - 1  # [m, ns]
+    onehot = jax.nn.one_hot(blk_of, nb, dtype=jnp.float32)  # [m, ns, nb]
+    prefix_s = jnp.einsum(
+        "msb,mb->ms", onehot, prefix.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    offset = slots[None, :] - prefix_s.astype(jnp.int32)  # rank within block
+    blk_data = jnp.einsum(
+        "msb,mbj->msj", onehot, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # [m, ns, BS]
+    local_cum = jnp.cumsum(blk_data, axis=-1).astype(jnp.int32)
+    j_iota = jnp.arange(BS, dtype=jnp.int32)
+    hit = (blk_data > 0) & (local_cum == offset[..., None] + 1)
+    local_j = jnp.min(jnp.where(hit, j_iota, BS), axis=-1)  # [m, ns]
+    idx = jnp.minimum(blk_of * BS + local_j, n - 1).astype(jnp.int32)
+
     # CUDA breaks at nsample, so the reported count is capped
-    cnt = jnp.minimum(jnp.sum(valid, axis=-1), nsample).astype(jnp.int32)
+    total = prefix[:, -1] + blk_cnt[:, -1]
+    cnt = jnp.minimum(total, nsample).astype(jnp.int32)
     slot = jnp.arange(nsample, dtype=jnp.int32)[None, :]
     idx = jnp.where(slot < cnt[:, None], idx, idx[:, :1])
     idx = jnp.where(cnt[:, None] > 0, idx, 0)

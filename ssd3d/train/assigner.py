@@ -59,6 +59,7 @@ def _random_subset_mask(rng: Array, candidate: Array, k: Array, cap: int) -> Arr
     entries (semantics of np.random.choice(..., replace=False) in the
     reference, gt_sampler.py:147). candidate: bool [n]; cap: static max k."""
     n = candidate.shape[0]
+    cap = min(cap, n)
     scores = jnp.where(candidate, jax.random.uniform(rng, (n,)), -jnp.inf)
     _, top_idx = jax.lax.top_k(scores, cap)
     take = jnp.minimum(jnp.sum(candidate), k)

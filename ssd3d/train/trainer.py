@@ -1,0 +1,156 @@
+"""Training runtime: data-parallel jit train step + orbax checkpoints +
+metrics logging. Replaces the reference trainer (lib/core/trainer.py) —
+per-GPU towers, feed_dicts, tf.train.Saver — with one pjit-sharded program
+and a deterministic input pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssd3d.data.loader import KittiLoader
+from ssd3d.models import build_detector
+from ssd3d.parallel import batch_sharding, make_mesh, replicated
+from ssd3d.train.train_step import TrainGraph, TrainState
+
+
+class CheckpointManager:
+    """Orbax-backed save/restore with max-to-keep (reference keeps 10,
+    config.py:121-123) and best-checkpoint promotion (evaluator.py:119)."""
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 10):
+        import orbax.checkpoint as ocp
+
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state):
+        import orbax.checkpoint as ocp
+
+        self.mngr.save(step, args=ocp.args.StandardSave(state))
+        self.mngr.wait_until_finished()
+
+    def restore(self, state_like, step: int | None = None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None, None
+        restored = self.mngr.restore(
+            step, args=ocp.args.StandardRestore(state_like)
+        )
+        return restored, step
+
+    def latest_step(self):
+        return self.mngr.latest_step()
+
+    def all_steps(self):
+        return list(self.mngr.all_steps())
+
+
+class Trainer:
+    """End-to-end KITTI training (the reference trainer.py CLI body)."""
+
+    def __init__(self, cfg, log_dir: str, split: str = "train", seed: int = 0):
+        self.cfg = cfg
+        self.log_dir = os.path.abspath(log_dir)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.log_file = open(os.path.join(self.log_dir, "log_train.txt"), "a")
+        # config snapshot into the run dir (trainer.py:59)
+        with open(os.path.join(self.log_dir, "config_snapshot.json"), "w") as f:
+            json.dump(cfg.to_dict(), f, indent=1, default=str)
+
+        self.model, self.spec = build_detector(cfg)
+        self.graph = TrainGraph.build(cfg, self.model, self.spec)
+        self.loader = KittiLoader(cfg, split, training=True, seed=seed)
+
+        n_dev = len(jax.devices())
+        self.mesh = make_mesh(n_dev)
+        self.bsh = batch_sharding(self.mesh)
+        self.rep = replicated(self.mesh)
+        self.batch_size = cfg.TRAIN.CONFIG.BATCH_SIZE * cfg.TRAIN.CONFIG.GPU_NUM
+        if self.batch_size % n_dev != 0:
+            self.batch_size = max(n_dev, self.batch_size - self.batch_size % n_dev)
+            self.log(f"batch size adjusted to {self.batch_size} for {n_dev} devices")
+
+        self.ckpt = CheckpointManager(
+            os.path.join(self.log_dir, "ckpt"),
+            cfg.TRAIN.CONFIG.MAX_CHECKPOINTS_TO_KEEP,
+        )
+        self.seed = seed
+
+        batch_keys = ("points", "gt_boxes", "gt_labels")
+        self.step_fn = jax.jit(
+            self.graph.train_step,
+            in_shardings=(self.rep, {k: self.bsh for k in batch_keys}, self.rep),
+            out_shardings=(self.rep, self.rep),
+            donate_argnums=(0,),
+        )
+
+    def log(self, msg: str):
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        self.log_file.write(line + "\n")
+        self.log_file.flush()
+
+    def _device_batch(self, batch):
+        return {
+            k: jax.device_put(jnp.asarray(batch[k]), self.bsh)
+            for k in ("points", "gt_boxes", "gt_labels")
+        }
+
+    def init_or_restore(self) -> TrainState:
+        example = jnp.zeros(
+            (1, self.cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32
+        )
+        state = self.graph.init_state(jax.random.PRNGKey(self.seed), example)
+        state = jax.device_put(state, self.rep)
+        restored, step = self.ckpt.restore(state)
+        if restored is not None:
+            self.log(f"restored checkpoint at step {step}")
+            return jax.device_put(restored, self.rep)
+        return state
+
+    def train(self, max_iterations: int | None = None):
+        cfg = self.cfg.TRAIN.CONFIG
+        max_iters = max_iterations or cfg.MAX_ITERATIONS
+        state = self.init_or_restore()
+        start_step = int(state.step)
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        t_last = time.time()
+        it = start_step
+        for batch in self.loader.batches(
+            self.batch_size, num_threads=self.cfg.DATA_LOADER.NUM_THREADS
+        ):
+            if it >= max_iters:
+                break
+            state, metrics = self.step_fn(state, self._device_batch(batch), rng)
+            it += 1
+            if it % cfg.SUMMARY_INTERVAL == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t_last) / cfg.SUMMARY_INTERVAL
+                t_last = time.time()
+                self.log(
+                    f"iter {it}/{max_iters} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+                    + f" ({dt:.3f}s/it)"
+                )
+            if it % cfg.CHECKPOINT_INTERVAL == 0:
+                self.ckpt.save(it, jax.device_get(state))
+                self.log(f"saved checkpoint at iter {it}")
+        self.ckpt.save(it, jax.device_get(state))
+        self.log(f"training done at iter {it}")
+        return state

@@ -1,0 +1,231 @@
+"""Data subsystem: calib round-trips, preprocessing skip rules, augmentation
+invariants, loader determinism — on a synthetic mini-KITTI tree."""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ssd3d.config import load_cfg
+from ssd3d.data import augment as aug
+from ssd3d.data.kitti_io import Calibration, KittiScene, read_plane
+from ssd3d.data.loader import KittiLoader, MixupDatabase, budget_points
+from ssd3d.data.preprocess import preprocess_sample, run_preprocess
+
+from conftest import random_boxes
+
+
+# ---------------------------------------------------------------------------
+# synthetic KITTI tree
+# ---------------------------------------------------------------------------
+
+CALIB_TXT = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
+P1: 700 0 600 0 0 700 180 0 0 0 1 0
+P2: 700 0 600 44.8 0 700 180 0.1 0 0 1 0.003
+P3: 700 0 600 0 0 700 180 0 0 0 1 0
+R0_rect: 0.9999 0.0098 -0.0074 -0.0099 0.9999 -0.0043 0.0074 0.0043 0.9999
+Tr_velo_to_cam: 0.0076 -0.9999 -0.0006 -0.0027 -0.0022 0.0006 -0.9999 -0.0576 0.9999 0.0076 -0.0022 -0.3321
+Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 0
+"""
+
+
+def _write_png(path, h, w):
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = zlib.compress(b"".join(b"\x00" + b"\x80" * w for _ in range(h)))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", raw))
+        f.write(chunk(b"IEND", b""))
+
+
+@pytest.fixture(scope="module")
+def mini_kitti(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    base = root / "training"
+    for sub in ("velodyne", "calib", "label_2", "planes", "image_2"):
+        (base / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    n_scans = 4
+    for i in range(n_scans):
+        (base / "calib" / f"{i:06d}.txt").write_text(CALIB_TXT)
+        _write_png(str(base / "image_2" / f"{i:06d}.png"), 375, 1242)
+        (base / "planes" / f"{i:06d}.txt").write_text(
+            "# Plane\nWidth 4\nHeight 1\n0 -1 0 1.65\n"
+        )
+        # velodyne points around known car positions (velo frame: x fwd, y left, z up)
+        pts = rng.uniform(0, 1, (6000, 4)).astype(np.float32)
+        pts[:, 0] = rng.uniform(5, 60, 6000)  # forward
+        pts[:, 1] = rng.uniform(-20, 20, 6000)
+        pts[:, 2] = rng.uniform(-1.6, 1.0, 6000)
+        # cluster points at the car location (velo ~ (20, 2, -1))
+        pts[:400, 0] = rng.uniform(18.5, 21.5, 400)
+        pts[:400, 1] = rng.uniform(1.2, 2.8, 400)
+        pts[:400, 2] = rng.uniform(-1.5, 0.1, 400)
+        pts.tofile(base / "velodyne" / f"{i:06d}.bin")
+        # label (rect coords): a car roughly at velo (20, 2, -1) -> rect (-2, 1.6, 20)
+        if i < 3:
+            label = (
+                "Car 0.00 0 -1.58 600.0 180.0 700.0 250.0 "
+                "1.6 1.7 4.0 -2.0 1.7 20.0 -1.6\n"
+                "DontCare -1 -1 -10 500 170 550 190 -1 -1 -1 -1000 -1000 -1000 -10\n"
+            )
+        else:
+            label = "Misc 0 0 0 0 0 10 10 1 1 1 0 0 30 0\n"  # no fg class
+        (base / "label_2" / f"{i:06d}.txt").write_text(label)
+    (root / "train.txt").write_text("".join(f"{i:06d}\n" for i in range(n_scans)))
+    return root
+
+
+def test_calib_roundtrip(mini_kitti):
+    calib = Calibration.from_file(
+        str(mini_kitti / "training" / "calib" / "000000.txt")
+    )
+    pts = np.random.RandomState(0).uniform(-10, 10, (100, 3)).astype(np.float32)
+    pts[:, 0] += 20
+    rect = calib.velo_to_rect(pts)
+    back = calib.rect_to_velo(rect)
+    np.testing.assert_allclose(back, pts, atol=2e-2)  # f32 matmul chain
+    # image projection centers near principal point for forward points
+    uv = calib.rect_to_image(np.array([[0.0, 0.0, 20.0]]))
+    assert abs(uv[0, 0] - 600) < 20 and abs(uv[0, 1] - 180) < 20
+
+
+def test_preprocess_sample(mini_kitti):
+    scene = KittiScene(str(mini_kitti), "training")
+    s = preprocess_sample(scene, 0, ["Car"], (-40, 40, -5, 3, 0, 70), True)
+    assert s is not None
+    assert s["points"].shape[1] == 4
+    assert s["boxes_3d"].shape == (1, 7)
+    assert (s["sem_labels"] > 0).sum() > 50  # clustered points found inside
+    # scan 3 has no foreground class -> skipped
+    assert preprocess_sample(
+        scene, 3, ["Car"], (-40, 40, -5, 3, 0, 70), True
+    ) is None
+
+
+def test_run_preprocess_and_loader(mini_kitti, tmp_path):
+    cfg = load_cfg("/root/repo/configs/kitti/3dssd/3dssd.yaml")
+    cfg.DATASET.KITTI.BASE_DIR_PATH = str(mini_kitti)
+    cfg.DATASET.KITTI.TRAIN_LIST = str(mini_kitti / "train.txt")
+    cfg.DATASET.KITTI.SAVE_NUMPY_PATH = str(tmp_path)
+    cfg.MODEL.POINTS_NUM_FOR_TRAINING = 2048
+    cfg.TRAIN.AUGMENTATIONS.MIXUP.NUMBER = (2,)
+    kept = run_preprocess(cfg, "train", log=lambda *a: None)
+    assert kept == [0, 1, 2]  # scan 3 skipped (no fg class)
+    # mixup DB built
+    db_dir = tmp_path / "mixup_database/KITTI" / "train" / "Car"
+    assert (db_dir / "list.txt").exists()
+
+    loader = KittiLoader(cfg, "train", training=True, seed=7)
+    batch = next(loader.batches(2, epochs=1, num_threads=1))
+    assert batch["points"].shape == (2, 2048, 4)
+    assert batch["gt_boxes"].shape[0:2] == (2, 64)
+    assert (batch["gt_labels"] > 0).any()
+    # determinism: same seed -> identical batch
+    loader2 = KittiLoader(cfg, "train", training=True, seed=7)
+    batch2 = next(loader2.batches(2, epochs=1, num_threads=1))
+    np.testing.assert_array_equal(batch["points"], batch2["points"])
+    np.testing.assert_array_equal(batch["gt_boxes"], batch2["gt_boxes"])
+    # different seed -> different augmentation
+    loader3 = KittiLoader(cfg, "train", training=True, seed=8)
+    batch3 = next(loader3.batches(2, epochs=1, num_threads=1))
+    assert not np.array_equal(batch["points"], batch3["points"])
+
+
+def test_budget_points(rng):
+    g = np.random.default_rng(0)
+    pts = rng.randn(100, 4).astype(np.float32)
+    sl = np.arange(100)
+    sd = np.ones(100, np.float32)
+    p, l, d = budget_points(g, pts, sl, sd, 64)
+    assert p.shape == (64, 4) and len(np.unique(l)) == 64  # no replacement
+    p2, l2, _ = budget_points(g, pts, sl, sd, 300)
+    assert p2.shape == (300, 4)
+    assert set(l2[:100]) == set(range(100))  # all points kept before padding
+
+
+def test_flip_involution(rng):
+    boxes = random_boxes(rng, 8)
+    pts = rng.randn(50, 4).astype(np.float32)
+    p1, b1 = aug.flip_x(pts, boxes)
+    p2, b2 = aug.flip_x(p1, b1)
+    np.testing.assert_allclose(p2, pts, atol=1e-6)
+    np.testing.assert_allclose(np.cos(b2[:, 6]), np.cos(boxes[:, 6]), atol=1e-6)
+    np.testing.assert_allclose(np.sin(b2[:, 6]), np.sin(boxes[:, 6]), atol=1e-6)
+    # membership preserved under flip
+    m0 = aug.points_in_boxes_np(pts, boxes)
+    m1 = aug.points_in_boxes_np(p1, b1)
+    np.testing.assert_array_equal(m0, m1)
+
+
+def test_global_rot_scale_keep_membership(rng):
+    g = np.random.default_rng(1)
+    boxes = random_boxes(rng, 4)
+    pts = np.concatenate(
+        [boxes[:, :3] + [0, -0.1, 0], rng.randn(20, 3).astype(np.float32)]
+    )
+    pts = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], 1)
+    m0 = aug.points_in_boxes_np(pts, boxes)
+    p1, b1 = aug.global_rotation(g, pts, boxes, np.pi / 4)
+    m1 = aug.points_in_boxes_np(p1, b1)
+    assert (m0 != m1).mean() < 0.05
+    p2, b2 = aug.global_scale(g, p1, b1, 0.1)
+    m2 = aug.points_in_boxes_np(p2, b2)
+    assert (m1 != m2).mean() < 0.05
+
+
+def test_per_object_noise_no_collisions(rng):
+    g = np.random.default_rng(2)
+    boxes = np.array(
+        [[0, 1.5, 10, 4, 1.6, 1.7, 0.0], [8, 1.5, 10, 4, 1.6, 1.7, 0.0]],
+        np.float32,
+    )
+    pts = np.concatenate(
+        [
+            boxes[0, :3] + rng.uniform(-0.5, 0.5, (30, 3)).astype(np.float32),
+            boxes[1, :3] + rng.uniform(-0.5, 0.5, (30, 3)).astype(np.float32),
+        ]
+    )
+    pts[:, 1] -= 0.5
+    pts = np.concatenate([pts, np.ones((60, 1), np.float32)], 1)
+    sem = np.ones(60, np.int32)
+    new_boxes, new_pts = aug.per_object_noise(g, boxes, pts, sem)
+    # boxes stayed separated
+    corners = aug.bev_corners(new_boxes)
+    assert not aug.bev_collision(corners[:1], corners[1:]).any()
+    # foreground points moved with their boxes (membership preserved-ish)
+    inside = aug.points_in_boxes_np(new_pts, new_boxes, expand=0.1)
+    assert inside.any(1).mean() > 0.8
+
+
+def test_mixup_place_snaps_to_plane(rng):
+    plane = np.array([0.0, -1.0, 0.0, 1.65])
+    scene_boxes = np.array([[0, 1.5, 10, 4, 1.6, 1.7, 0.0]], np.float32)
+    samp_boxes = np.array([[15, 0.3, 30, 4, 1.6, 1.7, 0.5]], np.float32)
+    samp_pts = [samp_boxes[0, :3] + np.zeros((5, 3), np.float32)]
+    samp_pts[0] = np.concatenate([samp_pts[0], np.ones((5, 1), np.float32)], 1)
+    pts = np.zeros((10, 4), np.float32)
+    boxes, classes, points, sl, sd = aug.mixup_place(
+        np.random.default_rng(0), samp_boxes, np.array([1]), samp_pts,
+        scene_boxes, np.array([1]), pts, np.zeros(10, np.int32),
+        np.ones(10, np.float32), plane,
+    )
+    assert len(boxes) == 2
+    assert boxes[1, 1] == pytest.approx(1.65, abs=1e-5)  # snapped to plane
+    # colliding sample is rejected
+    coll_boxes = np.array([[0.5, 1.5, 10.2, 4, 1.6, 1.7, 0.2]], np.float32)
+    boxes2, *_ = aug.mixup_place(
+        np.random.default_rng(0), coll_boxes, np.array([1]), samp_pts,
+        scene_boxes, np.array([1]), pts, np.zeros(10, np.int32),
+        np.ones(10, np.float32), plane,
+    )
+    assert len(boxes2) == 1

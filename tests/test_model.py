@@ -15,6 +15,9 @@ def tiny_cfg():
     cfg.MODEL.FIRST_STAGE.REGRESSION_METHOD.TYPE = "Dist-Anchor-free"
     cfg.MODEL.FIRST_STAGE.CLS_ACTIVATION = "Sigmoid"
     cfg.MODEL.FIRST_STAGE.MAX_OUTPUT_NUM = 10
+    cfg.MODEL.FIRST_STAGE.ASSIGN_METHOD = "Mask"
+    cfg.MODEL.FIRST_STAGE.MINIBATCH_NUM = -1
+    cfg.MODEL.FIRST_STAGE.CLASSIFICATION_LOSS.TYPE = "Center-ness"
     cfg.MODEL.NETWORK.AGGREGATION_SA_FEATURE = True
     cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE = [
         # miniature 3DSSD: SA(D-FPS) -> SA(FS) -> select(F-FPS) -> vote -> CG-SA

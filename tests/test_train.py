@@ -1,0 +1,227 @@
+"""Target assignment, losses, and the sharded train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ssd3d.config import load_cfg
+from ssd3d.core.geometry import points_in_boxes
+from ssd3d.models import build_detector
+from ssd3d.train.assigner import AssignerConfig, assign_targets, vote_targets
+from ssd3d.train.schedules import bn_momentum, learning_rate
+from ssd3d.train.train_step import TrainGraph
+from ssd3d.parallel import make_mesh, batch_sharding, replicated
+
+from conftest import random_boxes
+from test_model import tiny_cfg
+
+
+def _mask_assign_oracle(points, anchors, gt_boxes, gt_labels, sample_range):
+    """Numpy oracle for Mask assignment, minibatch -1, cls_num=1
+    (reference gt_sampler.py:168-259 semantics)."""
+    pts_num = points.shape[0]
+    valid = np.any(gt_boxes != 0, axis=-1)
+    inside = np.asarray(
+        points_in_boxes(jnp.asarray(points), jnp.asarray(gt_boxes))
+    ) & valid[None]
+    sampled = np.argmax(inside, axis=-1)
+    assigned = gt_boxes[sampled]
+    dist = np.linalg.norm(anchors[:, 0, :3] - assigned[:, :3], axis=-1)
+    pmask = (inside.any(-1) & (dist <= sample_range)).astype(np.float32)
+    nmask = (~inside.any(-1)).astype(np.float32)
+    return sampled, pmask, nmask, assigned
+
+
+def test_mask_assign_matches_oracle(rng):
+    gt = random_boxes(rng, 5)
+    gt[3:] = 0  # padding rows
+    labels = np.array([1, 1, 1, 0, 0], np.int32)
+    pts = rng.uniform(-20, 20, (64, 3)).astype(np.float32)
+    pts[:10] = gt[0, :3]
+    pts[:10, 1] -= gt[0, 4] / 2  # inside box 0
+    anchors = pts[:, None, :]  # anchor-free
+
+    cfg = AssignerConfig(
+        method="Mask", iou_sample_type="3D", minibatch_size=-1,
+        positive_ratio=0.25, pos_iou=0.7, neg_iou=0.55,
+        effective_sample_range=10.0,
+    )
+    out = assign_targets(
+        cfg, jax.random.PRNGKey(0), jnp.asarray(pts)[None],
+        jnp.asarray(anchors)[None], jnp.asarray(gt)[None],
+        jnp.asarray(labels)[None],
+    )
+    sampled, pmask, nmask, assigned = _mask_assign_oracle(
+        pts, anchors, gt, labels, 10.0
+    )
+    np.testing.assert_array_equal(np.asarray(out["pmask"])[0, :, 0], pmask)
+    np.testing.assert_array_equal(np.asarray(out["nmask"])[0, :, 0], nmask)
+    np.testing.assert_allclose(
+        np.asarray(out["gt_boxes"])[0, :, 0], assigned, atol=1e-5
+    )
+    # positive points carry class 1, negatives 0
+    got_cls = np.asarray(out["gt_cls"])[0]
+    np.testing.assert_array_equal(got_cls[:10], 1)
+    assert (got_cls * (1 - pmask) == 0).all()
+
+
+def test_iou_assign_runs(rng):
+    gt = random_boxes(rng, 4)
+    labels = np.ones(4, np.int32)
+    pts = gt[:, :3] + rng.uniform(-0.3, 0.3, (4, 3)).astype(np.float32)
+    from ssd3d.core.box_coders import AnchorGenerator
+
+    gen = AnchorGenerator("KITTI", ("Car",), "Dist-Anchor")
+    anchors = gen(jnp.asarray(pts)[None])
+    cfg = AssignerConfig(
+        method="IoU", iou_sample_type="3D", minibatch_size=2,
+        positive_ratio=0.5, pos_iou=0.1, neg_iou=0.05,
+        effective_sample_range=10.0,
+    )
+    out = assign_targets(
+        cfg, jax.random.PRNGKey(0), jnp.asarray(pts)[None], anchors,
+        jnp.asarray(gt)[None], jnp.asarray(labels)[None],
+    )
+    # minibatch caps the selected points
+    assert np.asarray(out["pmask"]).sum() + np.asarray(out["nmask"]).sum() <= 2
+
+
+def test_minibatch_sampling_counts(rng):
+    gt = random_boxes(rng, 2)
+    labels = np.ones(2, np.int32)
+    pts = np.concatenate(
+        [
+            np.repeat(gt[0:1, :3], 20, 0) + np.array([0, -gt[0, 4] / 2, 0]),
+            rng.uniform(100, 200, (44, 3)),
+        ]
+    ).astype(np.float32)
+    cfg = AssignerConfig(
+        method="Mask", iou_sample_type="3D", minibatch_size=16,
+        positive_ratio=0.25, pos_iou=0.7, neg_iou=0.55,
+        effective_sample_range=1000.0,
+    )
+    out = assign_targets(
+        cfg, jax.random.PRNGKey(1), jnp.asarray(pts)[None],
+        jnp.asarray(pts)[None, :, None], jnp.asarray(gt)[None],
+        jnp.asarray(labels)[None],
+    )
+    n_pos = int(np.asarray(out["pmask"]).sum())
+    n_neg = int(np.asarray(out["nmask"]).sum())
+    assert n_pos == 4  # 16 * 0.25
+    assert n_neg == 12  # budget filled
+    # different keys give different subsets
+    out2 = assign_targets(
+        cfg, jax.random.PRNGKey(2), jnp.asarray(pts)[None],
+        jnp.asarray(pts)[None, :, None], jnp.asarray(gt)[None],
+        jnp.asarray(labels)[None],
+    )
+    assert not np.array_equal(np.asarray(out["pmask"]), np.asarray(out2["pmask"]))
+
+
+def test_vote_targets(rng):
+    gt = random_boxes(rng, 3)
+    gt[2] = 0
+    base = np.stack([gt[0, :3], gt[1, :3], [500.0, 0, 0]]).astype(np.float32)
+    base[:2, 1] -= 0.1
+    mask, target = vote_targets(jnp.asarray(base)[None], jnp.asarray(gt)[None])
+    mask, target = np.asarray(mask)[0], np.asarray(target)[0]
+    np.testing.assert_array_equal(mask, [1, 1, 0])
+    # target points at the volumetric center
+    want = gt[0, :3].copy()
+    want[1] -= gt[0, 4] / 2
+    np.testing.assert_allclose(base[0] + target[0], want, atol=1e-5)
+
+
+def test_schedules():
+    cfg = load_cfg("/root/reference/configs/kitti/3dssd/3dssd.yaml")
+    assert float(learning_rate(cfg.SOLVER, 0)) == pytest.approx(0.002)
+    assert float(learning_rate(cfg.SOLVER, 64559)) == pytest.approx(0.002)
+    assert float(learning_rate(cfg.SOLVER, 64560)) == pytest.approx(0.0002)
+    assert float(bn_momentum(cfg.SOLVER, 0)) == pytest.approx(0.5)
+    assert float(bn_momentum(cfg.SOLVER, 70000)) == pytest.approx(0.75)
+
+
+def _tiny_batch(rng, bs=2, n=512, gt_max=6):
+    pts = rng.uniform(-1, 1, (bs, n, 4)).astype(np.float32) * 8
+    gt = np.stack([random_boxes(rng, gt_max, scale=6.0) for _ in range(bs)])
+    gt[:, 4:] = 0  # padding
+    labels = np.ones((bs, gt_max), np.int32)
+    labels[:, 4:] = 0
+    # plant points inside boxes so positives exist
+    for b in range(bs):
+        for g in range(4):
+            pts[b, g * 20:(g + 1) * 20, :3] = gt[b, g, :3]
+            pts[b, g * 20:(g + 1) * 20, 1] -= gt[b, g, 4] / 2
+    return {
+        "points": jnp.asarray(pts),
+        "gt_boxes": jnp.asarray(gt),
+        "gt_labels": jnp.asarray(labels),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_train():
+    cfg = tiny_cfg()
+    cfg.MODEL.FIRST_STAGE.CORNER_LOSS = True
+    cfg.SOLVER.TYPE = "Adam"
+    cfg.SOLVER.BASE_LR = 0.002
+    model, spec = build_detector(cfg)
+    graph = TrainGraph.build(cfg, model, spec)
+    rng = np.random.RandomState(0)
+    batch = _tiny_batch(rng)
+    state = graph.init_state(jax.random.PRNGKey(0), batch["points"])
+    return cfg, graph, state, batch
+
+
+def test_losses_finite_and_complete(tiny_train):
+    cfg, graph, state, batch = tiny_train
+    total, (loss_dict, _) = graph.compute_losses(
+        state.params, state.batch_stats, batch, jax.random.PRNGKey(0), 0.9
+    )
+    assert set(loss_dict) == {"cls", "offset", "angle", "corner", "vote"}
+    for k, v in loss_dict.items():
+        assert np.isfinite(float(v)), k
+        assert float(v) >= 0, k
+    assert float(total) > 0
+
+
+def test_train_step_decreases_loss(tiny_train):
+    cfg, graph, state, batch = tiny_train
+    step = jax.jit(graph.train_step)
+    rng = jax.random.PRNGKey(42)
+    first = None
+    for i in range(8):
+        state, metrics = step(state, batch, rng)
+        if first is None:
+            first = float(metrics["total"])
+    last = float(metrics["total"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+    assert int(state.step) == 8
+
+
+def test_train_step_sharded_multichip(tiny_train):
+    """The dryrun_multichip contract: jit the FULL train step over an
+    8-device mesh with the batch sharded on 'data'."""
+    cfg, graph, state, batch = tiny_train
+    mesh = make_mesh(8)
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    batch8 = {
+        k: jax.device_put(jnp.concatenate([v] * 4, axis=0), bsh)
+        for k, v in batch.items()
+    }
+    state = jax.device_put(state, rep)
+    step = jax.jit(
+        graph.train_step,
+        in_shardings=((rep, {k: bsh for k in batch8}, rep)),
+        out_shardings=(rep, rep),
+    )
+    new_state, metrics = step(state, batch8, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))
+    assert int(new_state.step) == int(state.step) + 1
+    # params identical across devices (replicated update)
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
