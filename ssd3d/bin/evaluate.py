@@ -1,8 +1,9 @@
 """Continuous-eval daemon / one-shot evaluation (reference lib/core/evaluator.py).
 
 Polls the checkpoint dir, evaluates new checkpoints on the val split, keeps
-the best by Car-Moderate-3D AP (or mean Ped/Cyc), and promotes the best
-checkpoint aside (evaluator.py:94-135).
+the best by Car-Moderate-3D AP (or mean Ped/Cyc), and records the best
+checkpoint (evaluator.py:94-135). Works for SingleStage and DoubleStage
+models via the pipeline dispatcher.
 
     python -m ssd3d.bin.evaluate --cfg <yaml> --log_dir runs/3dssd \
         [--once] [--cls_threshold 0.3] [--limit N]
@@ -11,30 +12,29 @@ checkpoint aside (evaluator.py:94-135).
 import argparse
 import json
 import os
-import shutil
 import time
 
 import jax
+import jax.numpy as jnp
 
 from ssd3d.config import load_cfg
 from ssd3d.data.kitti_io import KittiScene
 from ssd3d.data.loader import KittiLoader
 from ssd3d.eval.predictions import evaluate_split, run_inference_on_split
-from ssd3d.models import build_detector
+from ssd3d.models.api import build_pipeline
 from ssd3d.train.trainer import CheckpointManager
-from ssd3d.train.train_step import TrainGraph
 
 
-def evaluate_checkpoint(cfg, model, spec, state, split="val",
+def evaluate_checkpoint(cfg, pipeline, state, split="val",
                         cls_thresh=0.3, limit=None, log=print):
     loader = KittiLoader(cfg, split, training=False)
     scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     det, gt, _ = run_inference_on_split(
-        cfg, model, spec, variables, loader, scene,
+        cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=cls_thresh, log=log, limit=limit,
     )
-    return evaluate_split(cfg, det, gt, spec.cls_list, log=log)
+    return evaluate_split(cfg, det, gt, pipeline.cls_list, log=log)
 
 
 def main():
@@ -50,12 +50,9 @@ def main():
     args = ap.parse_args()
     cfg = load_cfg(args.cfg, args.opts)
 
-    model, spec = build_detector(cfg)
-    graph = TrainGraph.build(cfg, model, spec)
-    import jax.numpy as jnp
-
+    pipeline = build_pipeline(cfg)
     example = jnp.zeros((1, cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32)
-    template = graph.init_state(jax.random.PRNGKey(0), example)
+    template = pipeline.graph.init_state(jax.random.PRNGKey(0), example)
     ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
 
     best_metric, best_step = -1.0, None
@@ -67,7 +64,7 @@ def main():
             state, _ = ckpt.restore(template, step)
             print(f"evaluating checkpoint {step}")
             results, metric = evaluate_checkpoint(
-                cfg, model, spec, state, args.split,
+                cfg, pipeline, state, args.split,
                 args.cls_threshold, args.limit,
             )
             print(f"ckpt {step}: selection metric {metric:.2f}")

@@ -14,9 +14,8 @@ from ssd3d.config import load_cfg
 from ssd3d.data.kitti_io import KittiScene
 from ssd3d.data.loader import KittiLoader
 from ssd3d.eval.predictions import run_inference_on_split
-from ssd3d.models import build_detector
+from ssd3d.models.api import build_pipeline
 from ssd3d.train.trainer import CheckpointManager
-from ssd3d.train.train_step import TrainGraph
 
 
 def main():
@@ -30,10 +29,9 @@ def main():
     args = ap.parse_args()
     cfg = load_cfg(args.cfg, args.opts)
 
-    model, spec = build_detector(cfg)
-    graph = TrainGraph.build(cfg, model, spec)
+    pipeline = build_pipeline(cfg)
     example = jnp.zeros((1, cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32)
-    template = graph.init_state(jax.random.PRNGKey(0), example)
+    template = pipeline.graph.init_state(jax.random.PRNGKey(0), example)
     ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
     state, step = ckpt.restore(template)
     assert state is not None, f"no checkpoint under {args.log_dir}/ckpt"
@@ -44,7 +42,7 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     save_dir = os.path.join(args.log_dir, "kitti_result")
     run_inference_on_split(
-        cfg, model, spec, variables, loader, scene,
+        cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=args.cls_threshold, save_dir=save_dir, limit=args.limit,
     )
     print(f"predictions saved to {save_dir}")

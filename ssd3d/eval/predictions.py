@@ -99,18 +99,16 @@ def save_kitti_predictions(path: str, boxes_3d, scores, classes, cls_list,
         f.writelines(lines)
 
 
-def run_inference_on_split(cfg, model, spec, variables, loader, scene,
+def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                            cls_thresh=0.3, save_dir=None, log=print,
                            limit=None):
-    """Model over a (val) split: per-scan detections; optionally dumps KITTI
-    txts. Returns (det_per_image, gt_per_image, names)."""
+    """Run `infer_fn(variables, points) -> det dict` over a (val) split:
+    per-scan detections; optionally dumps KITTI txts.
+    Returns (det_per_image, gt_per_image, names)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def infer(v, pts):
-        out = model.apply(v, pts, False)
-        return spec.decode_and_nms(out)
+    infer = jax.jit(infer_fn)
 
     det_per_image, gt_per_image, names = [], [], []
     count = 0
@@ -125,7 +123,7 @@ def run_inference_on_split(cfg, model, spec, variables, loader, scene,
         P2 = batch["calib_P2"][0]
         det_per_image.append(
             detections_to_eval_objects(
-                boxes, scores, classes, list(spec.cls_list), P2
+                boxes, scores, classes, list(cls_list), P2
             )
         )
         gt_per_image.append(labels_to_eval_objects(scene.labels(name)))
@@ -134,7 +132,7 @@ def run_inference_on_split(cfg, model, spec, variables, loader, scene,
             os.makedirs(save_dir, exist_ok=True)
             save_kitti_predictions(
                 os.path.join(save_dir, f"{name:06d}.txt"),
-                boxes, scores, classes, list(spec.cls_list), P2,
+                boxes, scores, classes, list(cls_list), P2,
             )
         count += 1
         if count % 200 == 0:

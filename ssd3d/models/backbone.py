@@ -47,12 +47,17 @@ class PointBackbone(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, points: Array, train: bool, bn_momentum: Array | float = 0.9):
+    def __call__(self, points: Array, train: bool, bn_momentum: Array | float = 0.9,
+                 prefix_xyz: tuple = (), prefix_features: tuple = ()):
         """points: [bs, n, 3 + c] -> dict with xyz/feature/fps lists and vote
-        outputs (vote base + raw offsets, for the vote loss)."""
-        xyz_list: list = [points[..., 0:3]]
-        feature_list: list = [points[..., 3:]]
-        fps_idx_list: list = [None]
+        outputs (vote base + raw offsets, for the vote loss).
+
+        prefix_xyz/prefix_features: entries inserted BEFORE the raw input in
+        the layer-graph lists — the two-stage detector seeds the RCNN stack
+        with the proposal centers this way (double_stage_detector.py:210)."""
+        xyz_list: list = list(prefix_xyz) + [points[..., 0:3]]
+        feature_list: list = list(prefix_features) + [points[..., 3:]]
+        fps_idx_list: list = [None] * (len(prefix_xyz) + 1)
         vote_base, vote_offset = [], []
 
         # TF variable scopes may repeat across layers (the shipped 3DSSD YAML

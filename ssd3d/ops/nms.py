@@ -59,6 +59,48 @@ def nms_bev(
     return idx, valid
 
 
+def class_unaware_nms(
+    boxes_3d: Array,
+    scores: Array,
+    max_output: int,
+    iou_threshold: float,
+    pre_topk: int = 0,
+):
+    """Class-agnostic proposal NMS (RPN path; reference
+    postprocessor.py:24-44 class_unaware_format + per-batch NMS).
+
+    boxes_3d: [b, n, cls, 7]; scores: [b, n, cls].
+    With pre_topk > 0 and n > pre_topk, candidates are score-prefiltered
+    before the O(K²) suppression (the reference's tf NMS streams all 16k
+    candidates; a dense suppression matrix wants a cap).
+
+    -> (boxes [b, max_output, 7], scores [b, max_output], valid [b, max_output])
+    """
+    from ssd3d.core.geometry import boxes_to_bev_aabb
+
+    b, n, cls_num = scores.shape
+    best_score = jnp.max(scores, axis=-1)  # [b, n]
+    if boxes_3d.shape[2] == 1:
+        boxes = boxes_3d[:, :, 0]
+    else:
+        best_cls = jnp.argmax(scores, axis=-1)
+        boxes = jnp.take_along_axis(
+            boxes_3d, best_cls[..., None, None], axis=2
+        )[:, :, 0]
+
+    if pre_topk and n > pre_topk:
+        top_s, top_i = jax.lax.top_k(best_score, pre_topk)
+        boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+        best_score = top_s
+    bev = boxes_to_bev_aabb(boxes)
+
+    def per_elem(bx, bv, sc):
+        idx, valid = nms_bev(bv, sc, max_output, iou_threshold)
+        return bx[idx], jnp.where(valid, sc[idx], 0.0), valid
+
+    return jax.vmap(per_elem)(boxes, bev, best_score)
+
+
 def batched_class_nms(
     boxes_3d: Array,
     bev_boxes: Array,

@@ -191,6 +191,54 @@ def iou_branch_loss(cfg: LossConfig, outputs, targets, anchors) -> Array:
     return jnp.sum(per) / norm
 
 
+def compute_stage_losses(cfg: LossConfig, coder, outputs: dict, targets: dict,
+                         anchors: Array, base_xyz: Array,
+                         gt_boxes_scene: Array | None = None) -> dict:
+    """All losses of one detection stage. `targets` must already contain the
+    assigner outputs; this adds the encoded regression targets. `anchors`:
+    [bs, n, cls, 7] (or [..., 3] anchor-free); base_xyz: [bs, n, 3];
+    gt_boxes_scene: [bs, g, 7] raw scene GTs (vote loss only)."""
+    gt_offset, gt_angle_cls, gt_angle_res = coder.encode(
+        base_xyz, targets["gt_boxes"],
+        anchors if anchors.shape[-1] == 7 else targets["gt_boxes"],
+    )
+    targets = dict(targets, gt_offset=gt_offset, gt_angle_cls=gt_angle_cls,
+                   gt_angle_res=gt_angle_res)
+
+    loss_dict = {"cls": classification_loss(cfg, outputs, targets)}
+    if cfg.reg_type == "Bin-Anchor":
+        loss_dict["offset"] = offset_loss_bin(cfg, outputs, targets)
+    else:
+        loss_dict["offset"] = offset_loss_res(cfg, outputs, targets)
+    loss_dict["angle"] = angle_loss(cfg, outputs, targets)
+
+    if cfg.corner_loss:
+        # decode predicted boxes under the GT angle bin
+        # (single_stage_detector.py:174-179)
+        gt_bin_onehot = jax.nn.one_hot(
+            gt_angle_cls, cfg.num_angle_cls, dtype=outputs["angle_res"].dtype
+        )
+        pred_boxes = coder.decode(
+            base_xyz, outputs["offset"], gt_bin_onehot,
+            outputs["angle_res"], anchors,
+        )
+        loss_dict["corner"] = corner_loss(cfg, pred_boxes, targets)
+    if cfg.vote_loss and outputs.get("vote_base"):
+        from ssd3d.train.assigner import vote_targets
+
+        vmask, vtarget = vote_targets(
+            outputs["vote_base"][0], gt_boxes_scene, expand=cfg.expand_dims_length
+        )
+        loss_dict["vote"] = vote_loss(outputs["vote_offset"][0], vmask, vtarget)
+    if cfg.iou_loss:
+        loss_dict["iou"] = iou_branch_loss(cfg, outputs, targets, anchors)
+    if cfg.attr_velo_loss:
+        attr_l, velo_l = attr_velo_loss(cfg, outputs, targets)
+        loss_dict["attribute"] = attr_l
+        loss_dict["velocity"] = velo_l
+    return loss_dict
+
+
 def attr_velo_loss(cfg: LossConfig, outputs, targets) -> tuple[Array, Array]:
     pmask = targets["pmask"]
     gt_attr = targets["gt_attribute"]  # [bs, pts, cls]

@@ -36,8 +36,12 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_optimizer(solver_cfg):
-    """SGD+momentum or Adam, with piecewise-constant LR and global-norm clip."""
+def make_optimizer(solver_cfg, train_param_prefix=()):
+    """SGD+momentum or Adam, with piecewise-constant LR and global-norm clip.
+
+    train_param_prefix: when non-empty, only parameters whose top-level module
+    name starts with one of the prefixes receive updates — the reference's
+    stage-wise freezing (TRAIN_PARAM_PREFIX, trainer_utils.py:56)."""
     lr = lambda step: learning_rate(solver_cfg, step)
     if solver_cfg.TYPE == "Adam":
         opt = optax.adam(lr)
@@ -45,7 +49,24 @@ def make_optimizer(solver_cfg):
         opt = optax.sgd(lr, momentum=solver_cfg.MOMENTUM)
     else:
         raise ValueError(f"unknown solver {solver_cfg.TYPE}")
-    return optax.chain(optax.clip_by_global_norm(5.0), opt)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), opt)
+    if train_param_prefix:
+        prefixes = tuple(train_param_prefix)
+
+        def label_tree(params):
+            def label_path(path):
+                # path[0] is the top-level module name
+                name = path[0].key if hasattr(path[0], "key") else str(path[0])
+                return "train" if name.startswith(prefixes) else "freeze"
+
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: label_path(p), params
+            )
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, label_tree
+        )
+    return tx
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,46 +122,10 @@ class TrainGraph:
             gt_velocity=batch.get("gt_velocity"),
             gt_attribute=batch.get("gt_attribute"),
         )
-        gt_offset, gt_angle_cls, gt_angle_res = self.spec.coder.encode(
-            base_xyz, targets["gt_boxes"],
-            anchors if anchors.shape[-1] == 7 else targets["gt_boxes"],
+        loss_dict = L.compute_stage_losses(
+            self.loss_cfg, self.spec.coder, outputs, targets, anchors,
+            base_xyz, gt_boxes_scene=batch["gt_boxes"],
         )
-        targets["gt_offset"] = gt_offset
-        targets["gt_angle_cls"] = gt_angle_cls
-        targets["gt_angle_res"] = gt_angle_res
-
-        cfg = self.loss_cfg
-        loss_dict = {"cls": L.classification_loss(cfg, outputs, targets)}
-        if cfg.reg_type == "Bin-Anchor":
-            loss_dict["offset"] = L.offset_loss_bin(cfg, outputs, targets)
-        else:
-            loss_dict["offset"] = L.offset_loss_res(cfg, outputs, targets)
-        loss_dict["angle"] = L.angle_loss(cfg, outputs, targets)
-
-        if cfg.corner_loss:
-            # decode predicted boxes under the GT angle bin
-            # (single_stage_detector.py:174-179)
-            gt_bin_onehot = jax.nn.one_hot(
-                gt_angle_cls, cfg.num_angle_cls, dtype=outputs["angle_res"].dtype
-            )
-            pred_boxes = self.spec.coder.decode(
-                base_xyz, outputs["offset"], gt_bin_onehot,
-                outputs["angle_res"], anchors,
-            )
-            loss_dict["corner"] = L.corner_loss(cfg, pred_boxes, targets)
-        if cfg.vote_loss and outputs["vote_base"]:
-            vmask, vtarget = vote_targets(
-                outputs["vote_base"][0], batch["gt_boxes"],
-                expand=cfg.expand_dims_length,
-            )
-            loss_dict["vote"] = L.vote_loss(outputs["vote_offset"][0], vmask, vtarget)
-        if cfg.iou_loss:
-            loss_dict["iou"] = L.iou_branch_loss(cfg, outputs, targets, anchors)
-        if cfg.attr_velo_loss:
-            attr_l, velo_l = L.attr_velo_loss(cfg, outputs, targets)
-            loss_dict["attribute"] = attr_l
-            loss_dict["velocity"] = velo_l
-
         total = sum(loss_dict.values())
         return total, (loss_dict, mutated["batch_stats"])
 

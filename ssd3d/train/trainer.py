@@ -15,9 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssd3d.data.loader import KittiLoader
-from ssd3d.models import build_detector
+from ssd3d.models.api import build_pipeline
 from ssd3d.parallel import batch_sharding, make_mesh, replicated
-from ssd3d.train.train_step import TrainGraph, TrainState
+from ssd3d.train.train_step import TrainState
 
 
 class CheckpointManager:
@@ -72,8 +72,9 @@ class Trainer:
         with open(os.path.join(self.log_dir, "config_snapshot.json"), "w") as f:
             json.dump(cfg.to_dict(), f, indent=1, default=str)
 
-        self.model, self.spec = build_detector(cfg)
-        self.graph = TrainGraph.build(cfg, self.model, self.spec)
+        self.pipeline = build_pipeline(cfg, nms_pre_topk=cfg.TPU.NMS_PRE_TOPK or 2048)
+        self.model = self.pipeline.model
+        self.graph = self.pipeline.graph
         self.loader = KittiLoader(cfg, split, training=True, seed=seed)
 
         n_dev = len(jax.devices())

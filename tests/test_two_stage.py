@@ -1,0 +1,172 @@
+"""Two-stage (PointRCNN) detector: forward, proposals, pooling, train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssd3d.config import load_cfg
+from ssd3d.models.two_stage import build_two_stage
+from ssd3d.train.two_stage_step import TwoStageGraph
+
+from conftest import random_boxes
+
+
+def prcnn_cfg(only_first=False):
+    """Shrunk PointRCNN config derived from the reference tiny yamls."""
+    cfg = load_cfg("/root/reference/configs/kitti/pointrcnn/tiny_pointrcnn_stage2.yaml")
+    cfg.MODEL.ONLY_FIRST_STAGE = only_first
+    cfg.MODEL.POINTS_NUM_FOR_TRAINING = 1024
+    arch = cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE
+    for layer, npt in zip(arch[:4], [256, 64, 16, 8]):
+        layer[8] = [npt]
+        layer[4] = [[8, 8], [8, 8]]
+        layer[3] = [4, 8]
+        layer[15] = 16
+    for layer in arch[4:]:  # FP layers
+        layer[4] = [16, 16]
+    cfg.MODEL.NETWORK.FIRST_STAGE.HEAD = [[[8], [8], "conv1d", [], True, "Det", "rpn_head"]]
+    arch2 = cfg.MODEL.NETWORK.SECOND_STAGE.ARCHITECTURE
+    arch2[0][8] = [32]
+    arch2[0][3] = [8]
+    arch2[0][4] = [[8, 8]]
+    arch2[1][8] = [8]
+    arch2[1][3] = [8]
+    arch2[1][4] = [[8, 16]]
+    arch2[2][4] = [16, 32]
+    cfg.MODEL.NETWORK.SECOND_STAGE.HEAD = [[[0], [4], "conv1d", [16], True, "Det", "rcnn_head"]]
+    cfg.MODEL.NETWORK.FIRST_STAGE.POINTS_POOLER = [
+        "RegionPool", ["mask", "dist"], [8], 64, 1.0, [6, 6, 6, 10], [8],
+        True, "roi_pool",
+    ]
+    cfg.MODEL.FIRST_STAGE.MAX_OUTPUT_NUM = 32
+    cfg.MODEL.SECOND_STAGE.MINIBATCH_NUM = 8
+    cfg.MODEL.SECOND_STAGE.CLASSIFICATION_POS_IOU = 0.3
+    cfg.MODEL.SECOND_STAGE.CLASSIFICATION_NEG_IOU = 0.2
+    return cfg
+
+
+def make_batch(rng, bs=1, n=1024):
+    gt = np.zeros((bs, 8, 7), np.float32)
+    gt[:, 0] = [2.0, 1.5, 10.0, 3.9, 1.6, 1.6, 0.3]
+    gt[:, 1] = [-6.0, 1.5, 18.0, 3.9, 1.6, 1.6, -0.7]
+    labels = np.zeros((bs, 8), np.int32)
+    labels[:, :2] = 1
+    pts = rng.uniform(-1, 1, (bs, n, 4)).astype(np.float32) * np.array(
+        [15, 1.5, 10, 1], np.float32
+    )
+    pts[..., 2] += 14
+    for g in range(2):
+        sel = slice(g * 150, (g + 1) * 150)
+        pts[:, sel, 0] = gt[:, g: g + 1, 0] + rng.uniform(-1.5, 1.5, (bs, 150))
+        pts[:, sel, 1] = gt[:, g: g + 1, 1] - rng.uniform(0, 1.5, (bs, 150))
+        pts[:, sel, 2] = gt[:, g: g + 1, 2] + rng.uniform(-0.7, 0.7, (bs, 150))
+    return {
+        "points": jnp.asarray(pts),
+        "gt_boxes": jnp.asarray(gt),
+        "gt_labels": jnp.asarray(labels),
+    }
+
+
+@pytest.fixture(scope="module")
+def two_stage():
+    cfg = prcnn_cfg()
+    model, rpn_spec, rcnn_spec = build_two_stage(cfg, nms_pre_topk=256)
+    batch = make_batch(np.random.RandomState(0))
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["points"], False, 0.9, rpn_spec=rpn_spec
+    )
+    return cfg, model, rpn_spec, rcnn_spec, variables, batch
+
+
+def test_full_forward_shapes(two_stage):
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage
+    out = model.apply(variables, batch["points"], False, 0.9, rpn_spec=rpn_spec)
+    p = cfg.MODEL.FIRST_STAGE.MAX_OUTPUT_NUM
+    assert out["proposals"].shape == (1, p, 7)
+    assert out["rpn"]["cls"].shape == (1, 1024, 1)  # per-point RPN
+    assert out["rpn"]["offset"].shape[-1] == 12 * 4 + 4  # Bin-Anchor channels
+    assert out["cls"].shape == (1, p, 2)  # softmax refinement head
+    assert out["offset"].shape == (1, p, 1, 6 * 4 + 4)  # 6-bin stage2
+    det = rcnn_spec.final_detections(out)
+    assert det["boxes"].shape == (1, cfg.MODEL.SECOND_STAGE.MAX_OUTPUT_NUM, 7)
+
+
+def test_proposals_cover_objects(two_stage):
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage
+    out = model.apply(variables, batch["points"], False, 0.9, rpn_spec=rpn_spec)
+    # untrained proposals are garbage boxes, but they must be finite and
+    # validity-masked
+    assert bool(jnp.isfinite(out["proposals"]).all())
+    assert int(out["proposal_valid"].sum()) > 0
+
+
+def _changed(tree_a, tree_b):
+    return any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b))
+    )
+
+
+def test_two_stage_train_step(two_stage):
+    """End-to-end mode (no prefixes): stage-1 losses train; stage-2 losses
+    exist but are zero until the RPN produces overlapping proposals — the
+    reference behaves identically (nmask needs IoU >= 0.05)."""
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage
+    cfg = cfg.clone()
+    cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX = []
+    cfg.TRAIN.CONFIG.TRAIN_LOSS_PREFIX = []
+    graph = TwoStageGraph.build(cfg, model, rpn_spec, rcnn_spec)
+    state = graph.init_state(jax.random.PRNGKey(0), batch["points"])
+    step = jax.jit(graph.train_step)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    keys = set(metrics)
+    assert any(k.startswith("loss_stage0/") for k in keys)
+    assert any(k.startswith("loss_stage1/") for k in keys)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(metrics["total"]) > 0  # stage-1 losses active
+
+    first = float(metrics["total"])
+    for _ in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert float(metrics["total"]) < first  # overfits the fixed batch
+
+
+def test_stage2_freeze(two_stage):
+    """TRAIN_PARAM_PREFIX ['rcnn', 'roi'] freezes the RPN; contrast with the
+    unfrozen run where the RPN moves."""
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage
+    assert cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX == ["rcnn", "roi"]
+    assert cfg.TRAIN.CONFIG.TRAIN_LOSS_PREFIX == ["loss_stage1"]
+    graph = TwoStageGraph.build(cfg, model, rpn_spec, rcnn_spec)
+    state = graph.init_state(jax.random.PRNGKey(0), batch["points"])
+    before = jax.device_get(state.params)
+    state2, _ = jax.jit(graph.train_step)(state, batch, jax.random.PRNGKey(1))
+    after = jax.device_get(state2.params)
+    assert not _changed(before["rpn_backbone"], after["rpn_backbone"])
+    assert not _changed(before["rpn_head"], after["rpn_head"])
+
+    # contrast: without freezing, stage-1 losses move the RPN
+    cfg2 = cfg.clone()
+    cfg2.TRAIN.CONFIG.TRAIN_PARAM_PREFIX = []
+    cfg2.TRAIN.CONFIG.TRAIN_LOSS_PREFIX = []
+    graph2 = TwoStageGraph.build(cfg2, model, rpn_spec, rcnn_spec)
+    state = graph2.init_state(jax.random.PRNGKey(0), batch["points"])
+    before = jax.device_get(state.params)
+    state2, _ = jax.jit(graph2.train_step)(state, batch, jax.random.PRNGKey(1))
+    after = jax.device_get(state2.params)
+    assert _changed(before["rpn_backbone"], after["rpn_backbone"])
+
+
+def test_only_first_stage():
+    cfg = prcnn_cfg(only_first=True)
+    model, rpn_spec, rcnn_spec = build_two_stage(cfg, nms_pre_topk=256)
+    batch = make_batch(np.random.RandomState(1))
+    cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX = []
+    cfg.TRAIN.CONFIG.TRAIN_LOSS_PREFIX = []
+    graph = TwoStageGraph.build(cfg, model, rpn_spec, rcnn_spec)
+    state = graph.init_state(jax.random.PRNGKey(0), batch["points"])
+    state, metrics = jax.jit(graph.train_step)(state, batch, jax.random.PRNGKey(1))
+    assert all(k.startswith("loss_stage0/") or k in ("total", "lr") for k in metrics)
+    assert np.isfinite(float(metrics["total"]))
