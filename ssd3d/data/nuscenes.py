@@ -103,22 +103,33 @@ def voxel_budget_sample(rng: np.random.Generator, points: np.ndarray,
     ext = np.reshape(np.asarray(point_range, np.float32), [3, 2])
     lo = ext[:, 0]
     hi = ext[:, 1]
-    xyz = points[:, :3]
-    inside = np.all((xyz > lo) & (xyz < hi), axis=1)
-    idx_all = np.where(inside)[0]
-    coords = np.floor((xyz[idx_all] - lo) / vs).astype(np.int64)
-    grid = np.ceil((hi - lo) / vs).astype(np.int64)
-    flat = (coords[:, 0] * grid[1] + coords[:, 1]) * grid[2] + coords[:, 2]
 
-    # cap points per voxel (first-come order, like the numba kernel)
-    order = np.argsort(flat, kind="stable")
-    flat_sorted = flat[order]
-    first = np.ones(len(flat_sorted), bool)
-    first[1:] = flat_sorted[1:] != flat_sorted[:-1]
-    group_start = np.maximum.accumulate(np.where(first, np.arange(len(first)), 0))
-    rank_in_voxel = np.arange(len(first)) - group_start
-    keep_sorted = rank_in_voxel < max_per_voxel
-    kept = idx_all[order[keep_sorted]]
+    from ssd3d import native
+
+    if native.load() is not None:
+        keep = native.voxel_budget_flags_native(
+            points, vs, lo, hi, max_per_voxel
+        )
+        kept = np.where(keep)[0]
+    else:
+        xyz = points[:, :3]
+        inside = np.all((xyz > lo) & (xyz < hi), axis=1)
+        idx_all = np.where(inside)[0]
+        coords = np.floor((xyz[idx_all] - lo) / vs).astype(np.int64)
+        grid = np.ceil((hi - lo) / vs).astype(np.int64)
+        flat = (coords[:, 0] * grid[1] + coords[:, 1]) * grid[2] + coords[:, 2]
+
+        # cap points per voxel (first-come order, like the numba kernel)
+        order = np.argsort(flat, kind="stable")
+        flat_sorted = flat[order]
+        first = np.ones(len(flat_sorted), bool)
+        first[1:] = flat_sorted[1:] != flat_sorted[:-1]
+        group_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(first)), 0)
+        )
+        rank_in_voxel = np.arange(len(first)) - group_start
+        keep_sorted = rank_in_voxel < max_per_voxel
+        kept = np.sort(idx_all[order[keep_sorted]])
 
     key_kept = kept[kept < priority_num]
     other_kept = kept[kept >= priority_num]

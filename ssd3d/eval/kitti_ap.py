@@ -301,9 +301,55 @@ def _thresholds(scores: list, n_gt: int) -> list:
     return t
 
 
+_GT_CODES = {"car": 0, "pedestrian": 1, "cyclist": 2, "van": 3,
+             "person_sitting": 4, "dontcare": 5}
+_METRIC_CODES = {"image": 0, "ground": 1, "3d": 2}
+
+
+def _flatten_for_native(gt_per_image, det_per_image):
+    gt_rows, det_rows, gt_counts, det_counts = [], [], [], []
+    for gts, dets in zip(gt_per_image, det_per_image):
+        gt_counts.append(len(gts))
+        det_counts.append(len(dets))
+        for g in gts:
+            gt_rows.append([
+                _GT_CODES.get(g.type.lower(), -1), *g.box2d, *g.t,
+                g.l, g.h, g.w, g.ry, g.alpha, g.truncation, g.occlusion,
+            ])
+        for d in dets:
+            det_rows.append([
+                _GT_CODES.get(d.type.lower(), -1), *d.box2d, *d.t,
+                d.l, d.h, d.w, d.ry, d.alpha, d.score,
+            ])
+    gt_arr = np.asarray(gt_rows, np.float32).reshape(-1, 15)
+    det_arr = np.asarray(det_rows, np.float32).reshape(-1, 14)
+    return gt_arr, np.asarray(gt_counts, np.int32), det_arr, np.asarray(
+        det_counts, np.int32
+    )
+
+
 def eval_class(gt_per_image, det_per_image, cls_idx, difficulty, metric,
-               compute_aos=False):
-    """-> (precision[41], aos[41] or None)."""
+               compute_aos=False, use_native: bool | None = None):
+    """-> (precision[41], aos[41] or None).
+
+    Dispatches to the C++ core (ssd3d/native/kitti_eval.cc) when built;
+    `use_native=False` forces the numpy path (tests cross-check both)."""
+    if use_native is None or use_native:
+        from ssd3d import native
+
+        if native.load() is not None:
+            gt_arr, gt_counts, det_arr, det_counts = _flatten_for_native(
+                gt_per_image, det_per_image
+            )
+            prec, aos = native.kitti_eval_class_native(
+                gt_arr, gt_counts, det_arr, det_counts,
+                cls_idx, difficulty, _METRIC_CODES[metric],
+                MIN_OVERLAP[metric][cls_idx], compute_aos,
+            )
+            return prec, aos
+        if use_native:
+            raise RuntimeError("native evaluator requested but not built")
+
     n_images = len(gt_per_image)
     min_ov = MIN_OVERLAP[metric][cls_idx]
 
