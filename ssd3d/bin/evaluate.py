@@ -12,6 +12,7 @@ models via the pipeline dispatcher.
 import argparse
 import json
 import os
+import shutil
 import time
 
 import jax
@@ -74,6 +75,13 @@ def main():
                 best_metric, best_step = metric, step
                 with open(os.path.join(args.log_dir, "best.json"), "w") as f:
                     json.dump({"step": step, "metric": metric}, f)
+                # copy the best checkpoint aside so max-to-keep GC can't
+                # delete it (reference evaluator.py:119-128)
+                src = os.path.join(args.log_dir, "ckpt", str(step))
+                dst = os.path.join(args.log_dir, "best_ckpt")
+                if os.path.isdir(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.copytree(src, dst)
                 print(f"new best: {metric:.2f} @ step {step}")
         if args.once:
             break

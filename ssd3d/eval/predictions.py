@@ -142,6 +142,28 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
     return det_per_image, gt_per_image, names
 
 
+def evaluate_recall(det_per_image, gt_boxes_per_image, iou_threshold=0.5):
+    """Average recall over the split (reference TEST_MODE 'Recall',
+    kitti_dataloader.py:385-408): a GT counts as detected when some
+    prediction overlaps it with 3D IoU >= threshold."""
+    import jax.numpy as jnp
+
+    from ssd3d.core.iou import boxes_iou_bev_3d
+
+    detected, total = 0, 0
+    for dets, gts in zip(det_per_image, gt_boxes_per_image):
+        total += len(gts)
+        if len(dets) == 0 or len(gts) == 0:
+            continue
+        pred = np.stack([np.concatenate([d.t, [d.l, d.h, d.w, d.ry]])
+                         for d in dets]).astype(np.float32)
+        _, iou3d = boxes_iou_bev_3d(jnp.asarray(pred), jnp.asarray(gts))
+        iou3d = np.asarray(iou3d)
+        hit = iou3d.max(axis=0) >= iou_threshold
+        detected += int(hit.sum())
+    return detected, total, detected / max(total, 1)
+
+
 def evaluate_split(cfg, det_per_image, gt_per_image, cls_list, log=print):
     """AP tables + the model-selection metric (Car moderate 3D, or mean
     Ped/Cyc moderate — kitti_dataloader.py:410-437)."""

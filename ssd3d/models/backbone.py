@@ -45,6 +45,7 @@ class PointBackbone(nn.Module):
     aggregation_sa_feature: bool = False
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, points: Array, train: bool, bn_momentum: Array | float = 0.9,
@@ -99,7 +100,7 @@ class PointBackbone(nn.Module):
                     aggregation_channel=agg_channel if agg_channel != -1 else None,
                     aggregate=self.aggregation_sa_feature,
                     use_gn=self.use_gn,
-                    axis_name=self.axis_name,
+                    axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                     name=scope,
                 )(xyz_in[0], feat_in[0], former_fps_idx, vote_ctr, train, bn_momentum)
                 xyz_list.append(new_xyz)
@@ -112,7 +113,7 @@ class PointBackbone(nn.Module):
                     max_translate_range=tuple(self.max_translate_range),
                     bn=bn,
                     use_gn=self.use_gn,
-                    axis_name=self.axis_name,
+                    axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                     name=scope,
                 )(xyz_in[0], feat_in[0], train, bn_momentum)
                 vote_base.append(xyz_in[0])
@@ -126,7 +127,7 @@ class PointBackbone(nn.Module):
                     mlp=tuple(mlp_list),
                     bn=bn,
                     use_gn=self.use_gn,
-                    axis_name=self.axis_name,
+                    axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                     name=scope,
                 )(xyz_in[0], xyz_in[1], feat_in[0], feat_in[1], train, bn_momentum)
                 xyz_list.append(xyz_in[0])
@@ -138,7 +139,7 @@ class PointBackbone(nn.Module):
                     mlp=tuple(mlp_list),
                     bn=bn,
                     use_gn=self.use_gn,
-                    axis_name=self.axis_name,
+                    axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                     name=scope,
                 )(xyz_in[0], feat_in[0], train, bn_momentum)
                 xyz_list.append(None)

@@ -13,7 +13,7 @@ Channel bookkeeping (head_builder.py:34-58):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,24 +37,25 @@ class DetectionHead(nn.Module):
     predict_attr_velo: bool = False
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features: Array, train: bool, bn_momentum=0.9) -> dict:
         """features: [bs, n, c] -> dict of per-point predictions."""
         x = SharedMLP(
             tuple(self.mlp), bn=self.bn, use_gn=self.use_gn,
-            axis_name=self.axis_name, name="trunk",
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="trunk",
         )(features, train, bn_momentum)
 
         cls = PointConv(128, bn=self.bn, use_gn=self.use_gn,
-                        axis_name=self.axis_name, name="pred_cls_base")(
+                        axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="pred_cls_base")(
             x, train, bn_momentum)
         cls = PointConv(self.cls_channels, bn=False, activation=False,
                         name="pred_cls")(cls, train, bn_momentum)
 
         reg_out = self.reg_base * (self.reg_channels + self.num_angle_cls * 2)
         reg = PointConv(128, bn=self.bn, use_gn=self.use_gn,
-                        axis_name=self.axis_name, name="pred_reg_base")(
+                        axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="pred_reg_base")(
             x, train, bn_momentum)
         reg = PointConv(reg_out, bn=False, activation=False, name="pred_reg")(
             reg, train, bn_momentum)
@@ -72,12 +73,12 @@ class DetectionHead(nn.Module):
         }
         if self.predict_attr_velo:
             attr = PointConv(128, bn=self.bn, use_gn=self.use_gn,
-                             axis_name=self.axis_name, name="pred_attr_base")(
+                             axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="pred_attr_base")(
                 x, train, bn_momentum)
             attr = PointConv(self.reg_base * 8, bn=False, activation=False,
                              name="pred_attr")(attr, train, bn_momentum)
             velo = PointConv(128, bn=self.bn, use_gn=self.use_gn,
-                             axis_name=self.axis_name, name="pred_velo_base")(
+                             axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="pred_velo_base")(
                 x, train, bn_momentum)
             velo = PointConv(self.reg_base * 2, bn=False, activation=False,
                              name="pred_velo")(velo, train, bn_momentum)
@@ -94,15 +95,16 @@ class IoUHead(nn.Module):
     bn: bool = True
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features: Array, train: bool, bn_momentum=0.9) -> Array:
         x = SharedMLP(
             tuple(self.mlp), bn=self.bn, use_gn=self.use_gn,
-            axis_name=self.axis_name, name="trunk",
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="trunk",
         )(features, train, bn_momentum)
         x = PointConv(128, bn=self.bn, use_gn=self.use_gn,
-                      axis_name=self.axis_name, name="pred_iou_base")(
+                      axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="pred_iou_base")(
             x, train, bn_momentum)
         return PointConv(self.cls_channels, bn=False, activation=False,
                          name="pred_iou")(x, train, bn_momentum)

@@ -39,6 +39,7 @@ class SingleStageDetector(nn.Module):
     aggregation_sa_feature: bool = False
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, points: Array, train: bool, bn_momentum: Array | float = 0.9):
@@ -48,7 +49,7 @@ class SingleStageDetector(nn.Module):
             max_translate_range=self.max_translate_range,
             aggregation_sa_feature=self.aggregation_sa_feature,
             use_gn=self.use_gn,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype,
             name="backbone",
         )(points, train, bn_momentum)
 
@@ -78,7 +79,7 @@ class SingleStageDetector(nn.Module):
                     bn=bn,
                     predict_attr_velo=self.predict_attr_velo,
                     use_gn=self.use_gn,
-                    axis_name=self.axis_name,
+                    axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                     name=name,
                 )(feat_in, train, bn_momentum)
                 det_xyz.append(xyz_in)
@@ -90,7 +91,7 @@ class SingleStageDetector(nn.Module):
                         cls_channels=self.num_classes,
                         bn=bn,
                         use_gn=self.use_gn,
-                        axis_name=self.axis_name,
+                        axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                         name=name,
                     )(feat_in, train, bn_momentum)
                 )
@@ -167,7 +168,13 @@ def build_detector(cfg, stage: str = "FIRST_STAGE", axis_name: str | None = None
     anchors = AnchorGenerator(cfg.DATASET.TYPE, cls_list, reg_method)
     reg_base = 1 if reg_method.endswith("free") else len(cls_list)
 
+    import jax.numpy as _jnp
+
+    compute_dtype = (
+        _jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else None
+    )
     module = SingleStageDetector(
+        compute_dtype=compute_dtype,
         architecture=tuple(tuple(layer) for layer in net_cfg.ARCHITECTURE),
         head_cfg=tuple(tuple(h) for h in net_cfg.HEAD),
         max_translate_range=tuple(cfg.MODEL.MAX_TRANSLATE_RANGE),

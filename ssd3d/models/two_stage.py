@@ -55,6 +55,7 @@ class RegionPool(nn.Module):
     bn: bool = True
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, base_xyz, base_feature, base_mask, proposals, train,
@@ -79,7 +80,7 @@ class RegionPool(nn.Module):
         extra = jnp.concatenate([canonical, info], axis=-1)
         encoded = SharedMLP(
             tuple(self.align_channels), bn=self.bn, use_gn=self.use_gn,
-            axis_name=self.axis_name, name="align",
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="align",
         )(extra, train, bn_momentum)
         out = jnp.concatenate([canonical, encoded, pool_feat], axis=-1)
         bs, p, ns, c = out.shape
@@ -101,6 +102,7 @@ class PointsPool(nn.Module):
     bn: bool = True
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, base_xyz, base_feature, base_mask, proposals, train,
@@ -166,11 +168,11 @@ class PointsPool(nn.Module):
         vfe_in = jnp.concatenate([gathered, pillar], axis=-1)
         encoded = SharedMLP(
             tuple(self.align_channels), bn=self.bn, use_gn=self.use_gn,
-            axis_name=self.axis_name, name="align",
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="align",
         )(vfe_in, train, bn_momentum)
         encoded = SharedMLP(
             tuple(self.vfe_channels), bn=self.bn, use_gn=self.use_gn,
-            axis_name=self.axis_name, name="vfe",
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype, name="vfe",
         )(encoded, train, bn_momentum)
         dense = jnp.max(encoded, axis=2) * vox_has  # [bs*p, nvox, c]
         out = jnp.concatenate([vox_ctrs, dense], axis=-1)
@@ -198,6 +200,7 @@ class TwoStageDetector(nn.Module):
     aggregation_sa_feature: bool = False
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     def setup(self):
         self.rpn_backbone = PointBackbone(
@@ -205,7 +208,7 @@ class TwoStageDetector(nn.Module):
             max_translate_range=self.max_translate_range,
             aggregation_sa_feature=self.aggregation_sa_feature,
             use_gn=self.use_gn,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype,
             name="rpn_backbone",
         )
         heads = []
@@ -216,7 +219,7 @@ class TwoStageDetector(nn.Module):
                 mlp=tuple(mlp), cls_channels=self.rpn_cls_channels,
                 reg_base=self.rpn_reg_base, reg_channels=self.rpn_reg_channels,
                 num_angle_cls=self.num_angle_cls, bn=bn,
-                use_gn=self.use_gn, axis_name=self.axis_name,
+                use_gn=self.use_gn, axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                 name=scope or f"rpn_head{i}",
             ))
         self.rpn_heads_mods = heads
@@ -225,7 +228,7 @@ class TwoStageDetector(nn.Module):
         pool_kwargs = dict(
             sample_pts_num=pc[3], context_range=pc[4],
             info_keys=tuple(pc[1]), align_channels=tuple(pc[2]),
-            bn=pc[7], use_gn=self.use_gn, axis_name=self.axis_name,
+            bn=pc[7], use_gn=self.use_gn, axis_name=self.axis_name, compute_dtype=self.compute_dtype,
             name=pc[8] or "roi_pool",
         )
         if pc[0] == "RegionPool":
@@ -240,7 +243,7 @@ class TwoStageDetector(nn.Module):
             max_translate_range=self.max_translate_range,
             aggregation_sa_feature=self.aggregation_sa_feature,
             use_gn=self.use_gn,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype,
             name="rcnn_backbone",
         )
         rheads = []
@@ -250,7 +253,7 @@ class TwoStageDetector(nn.Module):
                 mlp=tuple(mlp), cls_channels=self.rcnn_cls_channels,
                 reg_base=self.rcnn_reg_base, reg_channels=self.rcnn_reg_channels,
                 num_angle_cls=self.num_angle_cls, bn=bn,
-                use_gn=self.use_gn, axis_name=self.axis_name,
+                use_gn=self.use_gn, axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                 name=scope or f"rcnn_head{i}",
             ))
         self.rcnn_heads_mods = rheads
@@ -417,7 +420,11 @@ def build_two_stage(cfg, axis_name: str | None = None, nms_pre_topk=2048):
         )
 
     s1, s2 = cfg.MODEL.FIRST_STAGE, cfg.MODEL.SECOND_STAGE
+    compute_dtype = (
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else None
+    )
     model = TwoStageDetector(
+        compute_dtype=compute_dtype,
         rpn_architecture=tuple(
             tuple(l) for l in cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE
         ),

@@ -14,7 +14,7 @@ single `lax.pmean` when `axis_name` is set — on TPU this rides the ICI.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool, momentum: Array | float = 0.9):
+        x = x.astype(jnp.float32)  # stats and affine in f32 always
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -73,12 +74,14 @@ class PointConv(nn.Module):
     use_gn: bool = False
     axis_name: str | None = None
     activation: bool = True
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU-friendly matmuls
 
     @nn.compact
     def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9):
         x = nn.Dense(
             self.channels,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.compute_dtype,
             name="conv",
         )(x)
         if self.bn and self.use_gn:
@@ -99,6 +102,7 @@ class SharedMLP(nn.Module):
     bn: bool = True
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9):
@@ -108,6 +112,7 @@ class SharedMLP(nn.Module):
                 bn=self.bn,
                 use_gn=self.use_gn,
                 axis_name=self.axis_name,
+                compute_dtype=self.compute_dtype,
                 name=f"conv{i}",
             )(x, train, bn_momentum)
         return x

@@ -20,7 +20,7 @@ whole backbone is one jit-compiled program; the per-radius MLPs see dense
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -113,6 +113,7 @@ class PointnetSAModuleMSG(nn.Module):
     aggregate: bool = True  # cfg.MODEL.NETWORK.AGGREGATION_SA_FEATURE
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -175,18 +176,21 @@ class PointnetSAModuleMSG(nn.Module):
                 dilated=self.dilated_group,
             )
 
+        # one packed gather per scale instead of separate xyz/feature gathers
+        # (TPU row gathers are element-rate-limited; see gather_bench)
+        packed_src = jnp.concatenate([features, xyz], axis=-1)
         scale_feats = []
         for i, (idx, cnt) in enumerate(queries):
             has_pts = (cnt > 0).astype(jnp.int32)  # [bs, npoint]
             idx = idx * has_pts[..., None]  # empty balls -> gather point 0
-            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
-            grouped_feat = group_points(features, idx)
-            grouped = jnp.concatenate([grouped_feat, grouped_xyz], axis=-1)
+            grouped = group_points(packed_src, idx)
+            grouped_xyz = grouped[..., -3:] - new_xyz[:, :, None, :]
+            grouped = jnp.concatenate([grouped[..., :-3], grouped_xyz], axis=-1)
             grouped = SharedMLP(
                 tuple(self.mlp_list[i]),
                 bn=self.bn,
                 use_gn=self.use_gn,
-                axis_name=self.axis_name,
+                axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                 name=f"mlp{i}",
             )(grouped, train, bn_momentum)
             pooled = jnp.max(grouped, axis=2)  # [bs, npoint, c]
@@ -199,7 +203,7 @@ class PointnetSAModuleMSG(nn.Module):
                 self.aggregation_channel,
                 bn=self.bn,
                 use_gn=self.use_gn,
-                axis_name=self.axis_name,
+                axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                 name="aggregation",
             )(new_features, train, bn_momentum)
         return new_xyz, new_features, fps_idx
@@ -217,6 +221,7 @@ class VoteLayer(nn.Module):
     bn: bool = True
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features, train, bn_momentum=0.9):
@@ -224,7 +229,7 @@ class VoteLayer(nn.Module):
             tuple(self.mlp),
             bn=self.bn,
             use_gn=self.use_gn,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype,
             name="mlp",
         )(features, train, bn_momentum)
         offsets = PointConv(3, bn=False, activation=False, name="vote_offsets")(
@@ -242,6 +247,7 @@ class PointnetFPModule(nn.Module):
     bn: bool = True
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feat1, feat2, train, bn_momentum=0.9):
@@ -256,7 +262,7 @@ class PointnetFPModule(nn.Module):
             tuple(self.mlp),
             bn=self.bn,
             use_gn=self.use_gn,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype,
             name="mlp",
         )(interp, train, bn_momentum)
 
@@ -269,6 +275,7 @@ class PointnetSAModuleGlobal(nn.Module):
     bn: bool = True
     use_gn: bool = False
     axis_name: str | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features, train, bn_momentum=0.9):
@@ -277,7 +284,7 @@ class PointnetSAModuleGlobal(nn.Module):
             tuple(self.mlp),
             bn=self.bn,
             use_gn=self.use_gn,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, compute_dtype=self.compute_dtype,
             name="mlp",
         )(x, train, bn_momentum)
         return jnp.max(x, axis=1)

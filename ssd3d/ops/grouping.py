@@ -48,19 +48,24 @@ def _first_k_selection(valid: Array, nsample: int):
     Implementation: entirely gather/sort-free (both are pathological on TPU —
     a top_k over `n - index` keys lowers to a full 16k stable sort per row,
     ~100 ms per radius scale, and a cumsum binary search needs lane-dim
-    gathers at ~85 ms per step). Instead the mask is viewed as 128-wide
-    blocks: block counts + their exclusive prefix locate each output slot's
-    block with dense comparisons, and the block's content is fetched with a
-    one-hot MATMUL (MXU) rather than a gather; the in-block position is a
-    tiny masked min-reduction."""
+    gathers at ~85 ms per step). The mask is viewed as 128-wide blocks packed
+    into 8 x 16-bit words (exactly representable in f32, so one-hot MXU
+    matmuls can move them): block popcounts + their exclusive prefix locate
+    each output slot's block with dense comparisons, the block's PACKED
+    bitmask (8 floats, not 128) is fetched with a one-hot matmul, and the
+    in-block position is a popcount binary search — all elementwise."""
     m, n = valid.shape
     BS = 128
+    W = 16  # bits per packed word; 2^16 - 1 < 2^24 so f32 carries it exactly
     pad = (-n) % BS
     if pad:
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
     nb = (n + pad) // BS
-    v = valid.reshape(m, nb, BS)
-    blk_cnt = jnp.sum(v, axis=-1, dtype=jnp.int32)  # [m, nb]
+    vf = valid.reshape(m, nb, BS // W, W).astype(jnp.float32)
+    bitw = jnp.asarray([float(1 << j) for j in range(W)], jnp.float32)
+    words = jnp.sum(vf * bitw, axis=-1)  # [m, nb, 8] exact uint16 in f32
+    pops = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
+    blk_cnt = jnp.sum(pops, axis=-1)  # [m, nb]
     prefix = jnp.cumsum(blk_cnt, axis=-1) - blk_cnt  # exclusive [m, nb]
     slots = jnp.arange(nsample, dtype=jnp.int32)
 
@@ -74,14 +79,29 @@ def _first_k_selection(valid: Array, nsample: int):
         preferred_element_type=jnp.float32,
     )
     offset = slots[None, :] - prefix_s.astype(jnp.int32)  # rank within block
-    blk_data = jnp.einsum(
-        "msb,mbj->msj", onehot, v.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )  # [m, ns, BS]
-    local_cum = jnp.cumsum(blk_data, axis=-1).astype(jnp.int32)
-    j_iota = jnp.arange(BS, dtype=jnp.int32)
-    hit = (blk_data > 0) & (local_cum == offset[..., None] + 1)
-    local_j = jnp.min(jnp.where(hit, j_iota, BS), axis=-1)  # [m, ns]
+    words_s = jnp.einsum(
+        "msb,mbw->msw", onehot, words, preferred_element_type=jnp.float32,
+    )  # [m, ns, 8] packed bitmasks of the chosen block
+    pops_s = jax.lax.population_count(words_s.astype(jnp.uint32)).astype(jnp.int32)
+    exc = jnp.cumsum(pops_s, axis=-1) - pops_s  # exclusive per-word prefix
+    w_of = jnp.sum((exc <= offset[..., None]).astype(jnp.int32), axis=-1) - 1
+    w_iota = jnp.arange(BS // W, dtype=jnp.int32)
+    sel = w_iota[None, None, :] == w_of[..., None]
+    rank = offset - jnp.sum(jnp.where(sel, exc, 0), axis=-1)  # rank in word
+    word = jnp.sum(jnp.where(sel, words_s, 0.0), axis=-1).astype(jnp.uint32)
+
+    # position of the (rank+1)-th set bit in a 16-bit word: binary search by
+    # popcount of the low half at each step
+    pos = jnp.zeros_like(rank)
+    for half in (8, 4, 2, 1):
+        lowmask = jnp.uint32((1 << half) - 1)
+        low_pop = jax.lax.population_count(word & lowmask).astype(jnp.int32)
+        go_high = rank >= low_pop
+        rank = jnp.where(go_high, rank - low_pop, rank)
+        pos = jnp.where(go_high, pos + half, pos)
+        word = jnp.where(go_high, word >> half, word & lowmask)
+
+    local_j = w_of * W + pos
     idx = jnp.minimum(blk_of * BS + local_j, n - 1).astype(jnp.int32)
 
     # CUDA breaks at nsample, so the reported count is capped

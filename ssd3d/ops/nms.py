@@ -101,6 +101,39 @@ def class_unaware_nms(
     return jax.vmap(per_elem)(boxes, bev, best_score)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def soft_nms_bev(bev_boxes: Array, scores: Array, max_output: int,
+                 sigma: float = 0.5, score_thresh: float = 1e-3):
+    """Gaussian soft-NMS on BEV rectangles (reference cython_nms.pyx
+    soft_nms, STD legacy path): instead of suppressing, decay scores by
+    exp(-iou²/sigma) against each selected box, picking greedily."""
+    k = scores.shape[0]
+    iou = aabb_iou(bev_boxes, bev_boxes)
+
+    def body(state, _):
+        scores, taken = state
+        live = jnp.where(taken, -jnp.inf, scores)
+        i = jnp.argmax(live)
+        s_i = live[i]
+        decay = jnp.exp(-(iou[i] ** 2) / sigma)
+        scores = jnp.where(taken, scores, scores * decay)
+        scores = scores.at[i].set(s_i)  # keep the selected score undecayed
+        taken = taken.at[i].set(True)
+        return (scores, taken), (i, s_i)
+
+    (_, _), (order, sel_scores) = jax.lax.scan(
+        body, (scores, jnp.zeros((k,), bool)), None,
+        length=min(max_output, k),
+    )
+    valid = sel_scores > score_thresh
+    out = min(max_output, k)
+    if max_output > k:
+        order = jnp.pad(order, (0, max_output - k))
+        sel_scores = jnp.pad(sel_scores, (0, max_output - k))
+        valid = jnp.pad(valid, (0, max_output - k))
+    return order.astype(jnp.int32), sel_scores, valid
+
+
 def batched_class_nms(
     boxes_3d: Array,
     bev_boxes: Array,

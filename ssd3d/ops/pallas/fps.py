@@ -73,10 +73,88 @@ def _fps_kernel(n: int, m: int, xyz_ref, out_ref, dist_ref, idx_scratch):
     out_ref[0] = idx_scratch[:]
 
 
+def _fps_batch_kernel(n: int, m: int, xyz_ref, out_ref, dist_ref, idx_scratch):
+    """All batch rows advance together: one fori_loop iteration does the
+    distance update + per-row argmax for EVERY cloud in the tile, amortizing
+    the sequential-loop overhead across the batch. xyz_ref: [3, bt, n]."""
+    bt = xyz_ref.shape[1]
+    xs = xyz_ref[0]  # [bt, n]
+    ys = xyz_ref[1]
+    zs = xyz_ref[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
+
+    dist_ref[:] = jnp.full((bt, n), jnp.inf, jnp.float32)
+    idx_scratch[:] = jnp.zeros((bt, m), jnp.int32)  # pick 0 = index 0
+
+    def body(j, carry):
+        sel_x, sel_y, sel_z = carry  # [bt, 1] each
+        d = (xs - sel_x) ** 2 + (ys - sel_y) ** 2 + (zs - sel_z) ** 2
+        dist = jnp.minimum(dist_ref[:], d)
+        dist_ref[:] = dist
+        vmax = jnp.max(dist, axis=1, keepdims=True)  # [bt, 1]
+        best = jnp.min(
+            jnp.where(dist == vmax, lane, jnp.int32(n)), axis=1, keepdims=True
+        )
+        hit = lane == best
+        nx = jnp.sum(jnp.where(hit, xs, 0.0), axis=1, keepdims=True)
+        ny = jnp.sum(jnp.where(hit, ys, 0.0), axis=1, keepdims=True)
+        nz = jnp.sum(jnp.where(hit, zs, 0.0), axis=1, keepdims=True)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (bt, m), 1)
+        idx_scratch[:] = jnp.where(slot == j, best, idx_scratch[:])
+        return nx, ny, nz
+
+    jax.lax.fori_loop(
+        1, m, body,
+        (xs[:, 0:1], ys[:, 0:1], zs[:, 0:1]),
+    )
+    out_ref[:] = idx_scratch[:]
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
+def _fps_pallas_batch(xyz: Array, npoint: int) -> Array:
+    """Batch-parallel variant: the whole batch tile lives in VMEM and every
+    loop iteration advances all clouds. Preferred for b >= 4."""
+    b, n, _ = xyz.shape
+    bt = min(b, 16)  # VMEM: 3*bt*n*4 + bt*n*4 bytes; 16x16384 ~= 4 MB
+    pad_b = (-b) % bt
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # [3, b, n]
+    if pad_b:
+        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, pad_b), (0, 0)))
+    nb = (b + pad_b) // bt
+
+    kernel = functools.partial(_fps_batch_kernel, n, npoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, bt, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((bt, npoint), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b + pad_b, npoint), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((bt, n), jnp.float32),
+            pltpu.VMEM((bt, npoint), jnp.int32),
+        ],
+    )(xyz_t)
+    return out[:b]
+
+
 def fps_pallas(xyz: Array, npoint: int) -> Array:
-    """xyz: [b, n, 3] float32 -> int32 [b, npoint]. n must be divisible by 8
-    (the KITTI/nuScenes point budgets are powers of two)."""
+    """xyz: [b, n, 3] float32 -> int32 [b, npoint]. Dispatches between the
+    batch-parallel kernel (amortizes loop overhead across clouds) and the
+    single-cloud tiled kernel (full VPU-sublane use at small batch)."""
+    b, n, _ = xyz.shape
+    if b >= 4 and n >= 128:
+        return _fps_pallas_batch(xyz, npoint)
+    return _fps_pallas_tiled(xyz, npoint)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fps_pallas_tiled(xyz: Array, npoint: int) -> Array:
+    """Single-cloud kernel: n viewed as (8, n/8) so small batches still use
+    all VPU sublanes. n must be divisible by 8."""
     b, n, _ = xyz.shape
     assert n % _SUBLANES == 0, f"n={n} must be a multiple of {_SUBLANES}"
     cols = n // _SUBLANES

@@ -86,6 +86,46 @@ def farthest_point_sample_from_dist(dist: Array, npoint: int) -> Array:
     return jax.vmap(single)(dist)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def farthest_point_sample_with_preidx(xyz: Array, preidx: Array,
+                                      npoint: int) -> Array:
+    """FPS seeded by prior picks: the distance field starts as the min
+    distance to the preidx points (reference FarthestPointSampleWithPreidx,
+    tf_sampling_g.cu:234 — unused by shipped configs, kept for parity).
+
+    xyz: [b, n, 3]; preidx: int [b, m1] -> int32 [b, npoint]."""
+
+    def single(pts, pre):
+        n = pts.shape[0]
+        seed_pts = jnp.take(pts, pre, axis=0)  # [m1, 3]
+        d = jnp.min(
+            jnp.sum((pts[:, None, :] - seed_pts[None, :, :]) ** 2, -1), axis=1
+        )
+
+        def body(i, state):
+            min_dist, out = state
+            nxt = jnp.argmax(min_dist).astype(jnp.int32)
+            out = out.at[i].set(nxt)
+            dd = jnp.sum((pts - pts[nxt]) ** 2, axis=-1)
+            return jnp.minimum(min_dist, dd), out
+
+        out0 = jnp.zeros((npoint,), jnp.int32)
+        _, out = jax.lax.fori_loop(0, npoint, body, (d, out0))
+        return out
+
+    return jax.vmap(single)(xyz, preidx)
+
+
+def prob_sample(weights: Array, rng: Array, num: int) -> Array:
+    """Categorical sampling by weight (reference ProbSample legacy op,
+    tf_sampling_g.cu:24). weights: [b, n] -> int32 [b, num]."""
+    logits = jnp.log(jnp.maximum(weights, 1e-20))
+    return jax.random.categorical(
+        rng, logits[:, None, :], axis=-1,
+        shape=(weights.shape[0], num),
+    ).astype(jnp.int32)
+
+
 def gather_points(points: Array, idx: Array) -> Array:
     """points: [b, n, c], idx: int [b, m] -> [b, m, c]."""
     return jnp.take_along_axis(points, idx[..., None], axis=1)

@@ -47,6 +47,10 @@ def make_optimizer(solver_cfg, train_param_prefix=()):
         opt = optax.adam(lr)
     elif solver_cfg.TYPE == "SGD":
         opt = optax.sgd(lr, momentum=solver_cfg.MOMENTUM)
+    elif solver_cfg.TYPE == "AdaBound":
+        from ssd3d.train.adabound import adabound
+
+        opt = adabound(lr)
     else:
         raise ValueError(f"unknown solver {solver_cfg.TYPE}")
     tx = optax.chain(optax.clip_by_global_norm(5.0), opt)

@@ -68,6 +68,7 @@ class Trainer:
         self.log_dir = os.path.abspath(log_dir)
         os.makedirs(self.log_dir, exist_ok=True)
         self.log_file = open(os.path.join(self.log_dir, "log_train.txt"), "a")
+        self.metrics_file = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
         # config snapshot into the run dir (trainer.py:59)
         with open(os.path.join(self.log_dir, "config_snapshot.json"), "w") as f:
             json.dump(cfg.to_dict(), f, indent=1, default=str)
@@ -149,6 +150,10 @@ class Trainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
                     + f" ({dt:.3f}s/it)"
                 )
+                self.metrics_file.write(
+                    json.dumps({"iter": it, "sec_per_it": dt, **metrics}) + "\n"
+                )
+                self.metrics_file.flush()
             if it % cfg.CHECKPOINT_INTERVAL == 0:
                 self.ckpt.save(it, jax.device_get(state))
                 self.log(f"saved checkpoint at iter {it}")
