@@ -254,6 +254,7 @@ def get_default_cfg() -> Config:
         MESH_SHAPE=Config(data=-1),  # -1: all visible devices on the data axis
         COMPUTE_DTYPE="float32",  # float32 | bfloat16 (activations/matmuls)
         NMS_PRE_TOPK=0,  # 0: use all candidate points; >0: score top-k prefilter
+        DEVICE_AUGMENT=False,  # run the augmentation chain inside the train step
         DONATE_TRAIN_STATE=True,
         REMAT_SA_LAYERS=False,
     )

@@ -87,9 +87,13 @@ class KittiLoader:
     """Loads preprocessed .npz scans, augments (train), budgets points, and
     emits fixed-shape batches."""
 
+    CAND_POINTS = 512  # fixed per-crop point cap for device-side pasting
+
     def __init__(self, cfg, split: str, data_dir: str | None = None,
                  training: bool = True, seed: int = 0,
-                 mixup_db: MixupDatabase | None = None):
+                 mixup_db: MixupDatabase | None = None,
+                 device_aug: bool = False):
+        self.device_aug = device_aug and training
         kcfg = cfg.DATASET.KITTI
         self.cfg = cfg
         self.training = training
@@ -108,7 +112,10 @@ class KittiLoader:
                 cfg.TRAIN.AUGMENTATIONS.MIXUP.NUMBER,
                 cls2idx, seed=seed,
             )
-        self.augmentor = Augmentor(cfg, mixup_db) if training else None
+        self.mixup_db = mixup_db if (training and cfg.TRAIN.AUGMENTATIONS.MIXUP.OPEN) else None
+        self.augmentor = (
+            Augmentor(cfg, mixup_db) if (training and not self.device_aug) else None
+        )
         self.scene = (
             KittiScene(kcfg.BASE_DIR_PATH, "training") if training else None
         )
@@ -129,14 +136,18 @@ class KittiLoader:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch_seed, int(name)])
         )
-        if self.training and self.augmentor is not None:
+        extras = {}
+        if self.training:
             try:
                 plane = self.scene.plane(int(name))
             except FileNotFoundError:
                 plane = np.array([0.0, -1.0, 0.0, 1.65])  # flat-road fallback
-            points, sem_labels, sem_dists, boxes, classes = self.augmentor(
-                rng, points, sem_labels, sem_dists, boxes, classes, plane
-            )
+            if self.augmentor is not None:
+                points, sem_labels, sem_dists, boxes, classes = self.augmentor(
+                    rng, points, sem_labels, sem_dists, boxes, classes, plane
+                )
+            elif self.device_aug:
+                extras = self._mixup_candidates(rng, plane)
         points, sem_labels, sem_dists = budget_points(
             rng, points, sem_labels, sem_dists, self.points_num
         )
@@ -146,13 +157,45 @@ class KittiLoader:
         k = min(len(boxes), MAX_GT)
         gt[:k] = boxes[:k]
         labels[:k] = classes[:k]
-        return {
+        out = {
             "points": points.astype(np.float32),
             "sem_labels": sem_labels.astype(np.int32),
             "gt_boxes": gt,
             "gt_labels": labels,
             "calib_P2": data["calib_P2"].astype(np.float32),
             "name": int(name),
+        }
+        out.update(extras)
+        return out
+
+    def _mixup_candidates(self, rng, plane):
+        """Fixed-shape GT-crop candidates for on-device pasting."""
+        if self.mixup_db is None:
+            return {"plane": plane.astype(np.float32)}
+        boxes, classes, pts_list = self.mixup_db.sample(rng)
+        # static candidate count: the round-robin sampler can return fewer
+        # near the end of its permutation
+        k = int(sum(self.mixup_db.num_list))
+        p = self.CAND_POINTS
+        cand = np.zeros((k, p, 4), np.float32)
+        cand_boxes = np.zeros((k, 7), np.float32)
+        cand_labels = np.zeros((k,), np.int32)
+        valid = np.zeros((k,), bool)
+        for i, pts in enumerate(pts_list[:k]):
+            if len(pts) == 0:
+                continue
+            m = min(len(pts), p)
+            cand[i, :] = pts[0, :4]  # pad by repeating the first point
+            cand[i, :m] = pts[:m, :4]
+            cand_boxes[i] = boxes[i]
+            cand_labels[i] = classes[i]
+            valid[i] = True
+        return {
+            "cand_points": cand,
+            "cand_boxes": cand_boxes,
+            "cand_labels": cand_labels,
+            "cand_valid": valid,
+            "plane": plane.astype(np.float32),
         }
 
     # ------------------------------------------------------------------
@@ -173,7 +216,7 @@ class KittiLoader:
                 epoch += 1
 
         def collate(samples):
-            keys = ("points", "sem_labels", "gt_boxes", "gt_labels", "calib_P2")
+            keys = [k for k in samples[0] if k != "name"]
             batch = {k: np.stack([s[k] for s in samples]) for k in keys}
             batch["names"] = np.asarray([s["name"] for s in samples])
             return batch
@@ -184,15 +227,18 @@ class KittiLoader:
         stop = threading.Event()
 
         def worker():
-            while not stop.is_set():
-                with lock:
-                    try:
-                        idxs = [next(stream) for _ in range(batch_size)]
-                    except StopIteration:
-                        out_q.put(None)
-                        return
-                samples = [self.load_sample(i, epoch_seed=e) for e, i in idxs]
-                out_q.put(collate(samples))
+            try:
+                while not stop.is_set():
+                    with lock:
+                        try:
+                            idxs = [next(stream) for _ in range(batch_size)]
+                        except StopIteration:
+                            out_q.put(None)
+                            return
+                    samples = [self.load_sample(i, epoch_seed=e) for e, i in idxs]
+                    out_q.put(collate(samples))
+            except BaseException as exc:  # propagate instead of dying silently
+                out_q.put(exc)
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -207,6 +253,8 @@ class KittiLoader:
                 if item is None:
                     finished += 1
                     continue
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -56,14 +56,26 @@ def _first_k_selection(valid: Array, nsample: int):
     in-block position is a popcount binary search — all elementwise."""
     m, n = valid.shape
     BS = 128
-    W = 16  # bits per packed word; 2^16 - 1 < 2^24 so f32 carries it exactly
+    W = 16
     pad = (-n) % BS
     if pad:
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
     nb = (n + pad) // BS
-    vf = valid.reshape(m, nb, BS // W, W).astype(jnp.float32)
+    words = _pack_words(valid.reshape(m, nb, BS // W, W))
+    return _select_from_words(words, nsample, n)
+
+
+def _pack_words(valid4d: Array) -> Array:
+    """bool [m, nb, 8, 16] -> packed 16-bit words as exact f32 [m, nb, 8]."""
+    W = valid4d.shape[-1]
     bitw = jnp.asarray([float(1 << j) for j in range(W)], jnp.float32)
-    words = jnp.sum(vf * bitw, axis=-1)  # [m, nb, 8] exact uint16 in f32
+    return jnp.sum(valid4d.astype(jnp.float32) * bitw, axis=-1)
+
+
+def _select_from_words(words: Array, nsample: int, n: int):
+    """First-k selection from packed block bitmasks. words: [m, nb, 8]."""
+    m, nb, _ = words.shape
+    BS, W = 128, 16
     pops = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
     blk_cnt = jnp.sum(pops, axis=-1)  # [m, nb]
     prefix = jnp.cumsum(blk_cnt, axis=-1) - blk_cnt  # exclusive [m, nb]
@@ -188,19 +200,30 @@ def ball_query_multi(
 
     def per_cloud(pts, qs):
         m = qs.shape[0]
+        n = pts.shape[0]
         chunk = min(_QUERY_CHUNK, m)
         pad = (-m) % chunk
         q = jnp.pad(qs, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        pad_n = (-n) % 128
+        nb = (n + pad_n) // 128
 
         def one(q_chunk):
             d2 = _pairwise_dist2(q_chunk, pts)
+            if pad_n:
+                d2 = jnp.pad(d2, ((0, 0), (0, pad_n)),
+                             constant_values=jnp.inf)
+            # ring predicates evaluated on the block view so the packed
+            # words fuse straight out of the distance computation (no
+            # full-width bool mask materialized / relaid out)
+            d2v = d2.reshape(chunk, nb, 8, 16)
             outs = []
             for lo2, hi2, ns, annulus in specs:
                 if annulus:
-                    valid = ((d2 >= lo2) & (d2 < hi2)) | (d2 == 0.0)
+                    valid = ((d2v >= lo2) & (d2v < hi2)) | (d2v == 0.0)
                 else:
-                    valid = d2 < hi2
-                outs.append(_first_k_selection(valid, ns))
+                    valid = d2v < hi2
+                words = _pack_words(valid)
+                outs.append(_select_from_words(words, ns, n))
             return tuple(outs)
 
         results = jax.lax.map(one, q)

@@ -83,6 +83,7 @@ class TrainGraph:
     assigner_cfg: AssignerConfig
     solver_cfg: Any
     tx: Any
+    aug_cfg: Any = None  # TRAIN.AUGMENTATIONS when TPU.DEVICE_AUGMENT is on
 
     @classmethod
     def build(cls, cfg, model, spec):
@@ -90,6 +91,9 @@ class TrainGraph:
             l[11] == "Vote_Layer" for l in cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE
         )
         has_iou = any(h[5] == "IoU" for h in cfg.MODEL.NETWORK.FIRST_STAGE.HEAD)
+        device_aug = (
+            cfg.TPU.DEVICE_AUGMENT and cfg.TRAIN.AUGMENTATIONS.OPEN
+        )
         return cls(
             model=model,
             spec=spec,
@@ -97,7 +101,8 @@ class TrainGraph:
                                            iou=has_iou),
             assigner_cfg=AssignerConfig.from_cfg(cfg.MODEL.FIRST_STAGE),
             solver_cfg=cfg.SOLVER,
-            tx=make_optimizer(cfg.SOLVER),
+            tx=make_optimizer(cfg.SOLVER, tuple(cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX)),
+            aug_cfg=cfg.TRAIN.AUGMENTATIONS if device_aug else None,
         )
 
     # ------------------------------------------------------------------
@@ -113,6 +118,11 @@ class TrainGraph:
     # ------------------------------------------------------------------
     def compute_losses(self, params, batch_stats, batch, rng, bn_m):
         """batch: points [bs,n,3+c], gt_boxes [bs,g,7], gt_labels [bs,g]."""
+        if self.aug_cfg is not None:
+            from ssd3d.train.device_aug import augment_batch
+
+            rng, rng_aug = jax.random.split(rng)
+            batch = augment_batch(rng_aug, batch, self.aug_cfg)
         outputs, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["points"], True, bn_m, mutable=["batch_stats"],

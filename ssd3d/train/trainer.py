@@ -76,7 +76,10 @@ class Trainer:
         self.pipeline = build_pipeline(cfg, nms_pre_topk=cfg.TPU.NMS_PRE_TOPK or 2048)
         self.model = self.pipeline.model
         self.graph = self.pipeline.graph
-        self.loader = KittiLoader(cfg, split, training=True, seed=seed)
+        self.loader = KittiLoader(
+            cfg, split, training=True, seed=seed,
+            device_aug=cfg.TPU.DEVICE_AUGMENT,
+        )
 
         n_dev = len(jax.devices())
         self.mesh = make_mesh(n_dev)
@@ -93,7 +96,13 @@ class Trainer:
         )
         self.seed = seed
 
-        batch_keys = ("points", "gt_boxes", "gt_labels")
+        batch_keys = ["points", "gt_boxes", "gt_labels"]
+        if cfg.TPU.DEVICE_AUGMENT and cfg.TRAIN.AUGMENTATIONS.OPEN:
+            batch_keys += ["plane"]
+            if cfg.TRAIN.AUGMENTATIONS.MIXUP.OPEN:
+                batch_keys += ["cand_points", "cand_boxes", "cand_labels",
+                               "cand_valid"]
+        self.batch_keys = tuple(batch_keys)
         self.step_fn = jax.jit(
             self.graph.train_step,
             in_shardings=(self.rep, {k: self.bsh for k in batch_keys}, self.rep),
@@ -110,7 +119,7 @@ class Trainer:
     def _device_batch(self, batch):
         return {
             k: jax.device_put(jnp.asarray(batch[k]), self.bsh)
-            for k in ("points", "gt_boxes", "gt_labels")
+            for k in self.batch_keys
         }
 
     def init_or_restore(self) -> TrainState:

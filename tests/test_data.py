@@ -229,3 +229,43 @@ def test_mixup_place_snaps_to_plane(rng):
         np.ones(10, np.float32), plane,
     )
     assert len(boxes2) == 1
+
+
+def test_device_aug_loader_and_train_step(mini_kitti, tmp_path):
+    """Device-aug mode: loader emits raw scans + fixed-shape mixup candidates;
+    the train step augments on device and still converges finitely."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssd3d.models import build_detector
+    from ssd3d.train.train_step import TrainGraph
+    from test_model import tiny_cfg
+
+    cfg = tiny_cfg()
+    cfg.DATASET.KITTI.BASE_DIR_PATH = str(mini_kitti)
+    cfg.DATASET.KITTI.TRAIN_LIST = str(mini_kitti / "train.txt")
+    cfg.DATASET.KITTI.SAVE_NUMPY_PATH = str(tmp_path)
+    cfg.MODEL.POINTS_NUM_FOR_TRAINING = 1024
+    cfg.TRAIN.AUGMENTATIONS.OPEN = True
+    cfg.TRAIN.AUGMENTATIONS.MIXUP.OPEN = True
+    cfg.TRAIN.AUGMENTATIONS.MIXUP.NUMBER = (2,)
+    cfg.TPU.DEVICE_AUGMENT = True
+    run_preprocess(cfg, "train", log=lambda *a: None)
+
+    loader = KittiLoader(cfg, "train", training=True, seed=3, device_aug=True)
+    batch = next(loader.batches(2, epochs=1, num_threads=1))
+    assert "cand_points" in batch and "plane" in batch
+    assert batch["cand_points"].shape[0] == 2
+    assert batch["cand_boxes"].shape[1] == 2  # MIXUP.NUMBER
+
+    model, spec = build_detector(cfg)
+    graph = TrainGraph.build(cfg, model, spec)
+    assert graph.aug_cfg is not None
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if k not in ("names", "sem_labels", "calib_P2")}
+    state = graph.init_state(jax.random.PRNGKey(0), jb["points"])
+    state, metrics = jax.jit(graph.train_step)(state, jb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    # augmentation is stochastic across steps (rng folds in the step count)
+    state2, metrics2 = jax.jit(graph.train_step)(state, jb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics2["total"]))
