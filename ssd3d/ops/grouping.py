@@ -184,6 +184,7 @@ def ball_query_multi(
     xyz: Array,
     new_xyz: Array,
     dilated: bool = False,
+    use_pallas: bool = True,
 ):
     """All radius scales of one SA layer in a single distance pass.
 
@@ -192,11 +193,31 @@ def ball_query_multi(
     computed once and every scale's first-k selection reads it. Returns lists
     of (idx, cnt) per radius. With dilated=True, scale i selects the annulus
     (radius_{i-1}, radius_i] plus the d == 0 self point (3DSSD dilated_group).
+
+    On TPU the distance + ring-mask packing runs as one Pallas kernel
+    (ssd3d/ops/pallas/ring_words.py) that never materializes the distance
+    matrix in HBM; the jnp path below is the reference implementation.
     """
     specs = []
     for i, (r, ns) in enumerate(zip(radius_list, nsample_list)):
         lo = radius_list[i - 1] if (dilated and i > 0) else 0.0
         specs.append((lo * lo, r * r, ns, dilated and i > 0))
+
+    n = xyz.shape[1]
+    if use_pallas and jax.default_backend() == "tpu" and n % 2048 == 0:
+        from ssd3d.ops.pallas.ring_words import ring_words_pallas
+
+        rings = tuple((lo2, hi2, annulus) for lo2, hi2, _, annulus in specs)
+        words = ring_words_pallas(xyz, new_xyz, rings)  # [b, R, m, n/16]
+        m = new_xyz.shape[1]
+        outs = []
+        for k, (_, _, ns, _) in enumerate(specs):
+            wk = words[:, k].reshape(words.shape[0], m, n // 128, 8)
+            idx, cnt = jax.vmap(
+                lambda w: _select_from_words(w, ns, n)
+            )(wk)
+            outs.append((idx, cnt))
+        return outs
 
     def per_cloud(pts, qs):
         m = qs.shape[0]

@@ -1,0 +1,64 @@
+"""Pallas kernels vs jnp references, in interpreter mode on CPU (the real-TPU
+paths are exercised by bench.py / the driver)."""
+
+import functools
+from unittest import mock
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental import pallas
+
+
+@pytest.fixture()
+def interpret():
+    orig = pallas.pallas_call
+    with mock.patch.object(
+        pallas, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        yield
+
+
+def test_fps_batch_kernel_matches_reference(interpret, rng):
+    import importlib
+
+    import ssd3d.ops.pallas.fps as f
+
+    importlib.reload(f)
+    from ssd3d.ops.sampling import _fps_reference
+
+    xyz = jnp.asarray(rng.randn(5, 256, 3).astype(np.float32))
+    want = np.asarray(_fps_reference(xyz, 64))
+    got = np.asarray(f._fps_pallas_batch(xyz, 64))
+    np.testing.assert_array_equal(got, want)
+    got_tiled = np.asarray(f._fps_pallas_tiled(xyz, 64))
+    np.testing.assert_array_equal(got_tiled, want)
+
+
+def test_ring_words_kernel_exact(interpret, rng):
+    import importlib
+
+    import ssd3d.ops.pallas.ring_words as rw
+
+    importlib.reload(rw)
+    from ssd3d.ops.grouping import _pack_words
+
+    xyz = jnp.asarray(rng.uniform(-3, 3, (2, 2048, 3)).astype(np.float32))
+    new_xyz = xyz[:, :256]  # queries are dataset points -> exact self-dist 0
+    rings = ((0.0, 0.04, False), (0.04, 0.16, True), (0.16, 0.64, True))
+    words = np.asarray(rw.ring_words_pallas(xyz, new_xyz, rings))
+    assert words.shape == (2, 3, 256, 128)
+    for b in range(2):
+        d2 = (
+            (np.asarray(new_xyz)[b][:, None] - np.asarray(xyz)[b][None]) ** 2
+        ).sum(-1)
+        for k, (lo2, hi2, si) in enumerate(rings):
+            valid = (d2 >= lo2) & (d2 < hi2)
+            if si:
+                valid |= d2 == 0
+            want = np.asarray(
+                _pack_words(jnp.asarray(valid.reshape(256, 16, 8, 16)))
+            ).reshape(256, 128)
+            np.testing.assert_array_equal(words[b, k], want)
