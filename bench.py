@@ -40,21 +40,20 @@ def main():
         out = model.apply(v, p, False)
         return spec.decode_and_nms(out)
 
-    # fresh input each iteration (guards against any result caching) and a
-    # scalar pulled from the output (guards against async completion skew)
+    # fresh input each iteration (guards against any result caching); device
+    # execution is serialized in submission order on one chip, so fetching a
+    # scalar from the LAST output (not block_until_ready, which returns early
+    # through remote tunnels) bounds the whole pipelined sequence
     def run_once(i):
-        out = infer(variables, x + jnp.float32(i) * 1e-3)
-        return float(out["scores"].sum())
+        return infer(variables, x + jnp.float32(i) * 1e-3)
 
-    run_once(0)  # compile
-    for i in range(2):  # warm
-        run_once(i + 1)
+    float(run_once(0)["scores"].sum())  # compile + settle
+    float(run_once(1)["scores"].sum())
 
     iters = 10
     t0 = time.perf_counter()
-    checksum = 0.0
-    for i in range(iters):
-        checksum += run_once(i + 3)
+    outs = [run_once(i + 2) for i in range(iters)]
+    checksum = float(outs[-1]["scores"].sum())  # forces completion of all
     dt = time.perf_counter() - t0
     assert checksum == checksum  # keep the dependency live
 

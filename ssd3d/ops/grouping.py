@@ -208,7 +208,11 @@ def ball_query_multi(
         from ssd3d.ops.pallas.ring_words import ring_words_pallas
 
         rings = tuple((lo2, hi2, annulus) for lo2, hi2, _, annulus in specs)
-        words = ring_words_pallas(xyz, new_xyz, rings)  # [b, R, m, n/16]
+        # neighborhood selection is non-differentiable (reference op has no
+        # gradient); also required for grad tracing through the Pallas call
+        words = ring_words_pallas(
+            jax.lax.stop_gradient(xyz), jax.lax.stop_gradient(new_xyz), rings
+        )  # [b, R, m, n/16]
         m = new_xyz.shape[1]
         outs = []
         for k, (_, _, ns, _) in enumerate(specs):

@@ -33,6 +33,10 @@ Array = jax.Array
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def farthest_point_sample(xyz: Array, npoint: int, use_pallas: bool = True) -> Array:
     """D-FPS. xyz: [b, n, 3] -> int32 [b, npoint]."""
+    # index selection is non-differentiable (the reference CUDA op has no
+    # gradient); cutting tangents here also lets the Pallas kernel run under
+    # jax.grad tracing
+    xyz = jax.lax.stop_gradient(xyz)
     if use_pallas and jax.default_backend() == "tpu":
         from ssd3d.ops.pallas.fps import fps_pallas
 
@@ -66,6 +70,7 @@ def farthest_point_sample_from_dist(dist: Array, npoint: int) -> Array:
     """F-FPS from a precomputed squared-distance matrix.
 
     dist: [b, n, n] -> int32 [b, npoint]."""
+    dist = jax.lax.stop_gradient(dist)
 
     def single(mat: Array) -> Array:
         n = mat.shape[0]

@@ -62,6 +62,7 @@ class TwoStageGraph:
     pool_context: float
     pool_mask_thresh: float
     loss_prefixes: tuple
+    freeze_rpn: bool = False
 
     @classmethod
     def build(cls, cfg, model, rpn_spec, rcnn_spec):
@@ -86,12 +87,28 @@ class TwoStageGraph:
             pool_context=net1.POINTS_POOLER[4],
             pool_mask_thresh=net1.POOLER_MASK_THRESHOLD,
             loss_prefixes=tuple(cfg.TRAIN.CONFIG.TRAIN_LOSS_PREFIX),
+            # when stage-wise training freezes every rpn_* module, cutting the
+            # gradient at the RPN outputs is equivalent and frees the whole
+            # backbone backward graph (full-resolution FP activations OOM a
+            # single chip otherwise)
+            freeze_rpn=bool(cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX)
+            and not any(
+                p.startswith("rpn") for p in cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX
+            ),
         )
 
     # ------------------------------------------------------------------
     def init_state(self, rng, example_points) -> TrainState:
+        # initialize through a proposal-count-shrunken spec: parameter shapes
+        # don't depend on the proposal count, and running the RCNN over the
+        # full training proposal buffer (e.g. 1000) just to create params
+        # wastes ~8 GB of activations
+        init_spec = dataclasses.replace(
+            self.rpn_spec,
+            max_output=min(self.rpn_spec.max_output, max(self.minibatch, 8)),
+        )
         variables = self.model.init(
-            rng, example_points, False, 0.9, rpn_spec=self.rpn_spec
+            rng, example_points, False, 0.9, rpn_spec=init_spec
         )
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -173,9 +190,12 @@ class TwoStageGraph:
                 jax.nn.sigmoid(jnp.max(rpn_sg["cls"], axis=-1, keepdims=True))
                 >= self.pool_mask_thresh
             ).astype(jnp.float32)
+            rcnn_feature = (
+                rpn_sg["feature"] if self.freeze_rpn else rpn_out["feature"]
+            )
             rcnn_out, mutated = self.model.apply(
                 {"params": params, "batch_stats": mutated["batch_stats"]},
-                rpn_sg["base_xyz"], rpn_out["feature"], base_mask,
+                rpn_sg["base_xyz"], rcnn_feature, base_mask,
                 sub_proposals, True, bn_m,
                 method="rcnn", mutable=["batch_stats"],
             )
