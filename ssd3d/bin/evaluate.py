@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from ssd3d.config import load_cfg
 from ssd3d.data.kitti_io import KittiScene
 from ssd3d.data.loader import KittiLoader
-from ssd3d.eval.predictions import evaluate_split, run_inference_on_split
+import numpy as np
+
+from ssd3d.eval.predictions import (
+    evaluate_recall,
+    evaluate_split,
+    run_inference_on_split,
+)
 from ssd3d.models.api import build_pipeline
 from ssd3d.train.trainer import CheckpointManager
 
@@ -35,6 +41,16 @@ def evaluate_checkpoint(cfg, pipeline, state, split="val",
         cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=cls_thresh, log=log, limit=limit,
     )
+    if cfg.TEST.TEST_MODE == "Recall":
+        gt_boxes = [
+            np.stack([np.concatenate([g.t, [g.l, g.h, g.w, g.ry]])
+                      for g in frame]).astype(np.float32)
+            if frame else np.zeros((0, 7), np.float32)
+            for frame in gt
+        ]
+        detected, total, recall = evaluate_recall(det, gt_boxes)
+        log(f"recall: {detected}/{total} = {recall:.4f}")
+        return {"recall": recall, "detected": detected, "total": total}, recall
     return evaluate_split(cfg, det, gt, pipeline.cls_list, log=log)
 
 
