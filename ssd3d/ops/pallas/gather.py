@@ -33,10 +33,11 @@ _BS = 128  # block size
 
 
 def _kernel(c: int, nb: int, idx_ref, src_ref, out_ref):
-    """idx_ref: [1, RT]; src_ref: [1, c, nb, BS]; out_ref: [1, RT, c]."""
-    idx = idx_ref[0, :]  # [RT]
-    blk = (idx // _BS)[:, None]  # [RT, 1]
-    off = (idx % _BS)[:, None]
+    """idx_ref: [1, 1, RT, 1] (rows on sublanes); src_ref: [1, c, nb, BS];
+    out_ref: [1, RT, c]."""
+    idx = idx_ref[0, 0]  # [RT, 1]
+    blk = idx // _BS  # [RT, 1]
+    off = idx % _BS
 
     blk_iota = jax.lax.broadcasted_iota(jnp.int32, (_RT, nb), 1)
     onehot_blk = (blk_iota == blk).astype(jnp.float32)  # [RT, nb]
@@ -89,6 +90,9 @@ def _gather_rows_impl(src: Array, idx: Array) -> Array:
     pad = (-rows) % _RT
     idx_p = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, pad)))
     rt = (rows + pad) // _RT
+    # rows-on-sublanes index layout: [b, rt, RT, 1] (a (1, rows) lane-major
+    # block would violate Mosaic's 8x128 block rule)
+    idx_p = idx_p.reshape(b, rt, _RT, 1)
     # channel-major blocked source: [b, c, nb, BS]
     src_t = jnp.transpose(src.astype(jnp.float32), (0, 2, 1)).reshape(
         b, c, nb, _BS
@@ -99,7 +103,8 @@ def _gather_rows_impl(src: Array, idx: Array) -> Array:
         kernel,
         grid=(b, rt),
         in_specs=[
-            pl.BlockSpec((1, _RT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _RT, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, nb, _BS), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
