@@ -37,7 +37,13 @@ def rotation_y(ry: Array) -> Array:
 def rotate_points_y(points: Array, ry: Array) -> Array:
     """Rotate point sets about y. points: [..., n, 3], ry: [...] -> [..., n, 3]."""
     rot = rotation_y(ry)
-    return jnp.einsum("...ij,...nj->...ni", rot, points)
+    # HIGHEST: the default bf16 matmul pass truncates coordinates to ~3
+    # significant digits (≈0.1 m at 30 m range), shifting box corners and
+    # flipping membership tests near box faces.
+    return jnp.einsum(
+        "...ij,...nj->...ni", rot, points,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def boxes_to_corners(boxes: Array) -> Array:

@@ -72,13 +72,36 @@ def _pack_words(valid4d: Array) -> Array:
     return jnp.sum(valid4d.astype(jnp.float32) * bitw, axis=-1)
 
 
+def _excl_prefix(x: Array) -> Array:
+    """Exclusive prefix sum over the last axis via a strict-upper-triangular
+    f32 matmul. jnp.cumsum lowers to a reduce-window whose scanned axis lands
+    on the lane dimension (8/128 utilization, ~10 GB/s measured); the matmul
+    form fuses and rides the MXU. Exact in the default (bf16-operand) matmul
+    pass as long as x's values are <= 256 — bf16 represents those integers
+    exactly and accumulation is f32."""
+    k = x.shape[-1]
+    tri = jnp.triu(jnp.ones((k, k), jnp.float32), k=1)
+    out = jnp.einsum(
+        "...a,ac->...c", x.astype(jnp.float32), tri,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
 def _select_from_words(words: Array, nsample: int, n: int):
-    """First-k selection from packed block bitmasks. words: [m, nb, 8]."""
+    """First-k selection from packed block bitmasks. words: [m, nb, 8].
+
+    Exactness on TPU: any matmul whose OPERAND values exceed 256 must run at
+    Precision.HIGHEST — the default single bf16 pass truncates the operand
+    (e.g. prefix values near 16384 round to multiples of 128, packed words
+    near 65535 round to 65536), which silently corrupts the selection. This
+    was observed on hardware: 4/4096 queries returned wrong neighbors at
+    n=16384 before the HIGHEST pins below."""
     m, nb, _ = words.shape
     BS, W = 128, 16
     pops = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
-    blk_cnt = jnp.sum(pops, axis=-1)  # [m, nb]
-    prefix = jnp.cumsum(blk_cnt, axis=-1) - blk_cnt  # exclusive [m, nb]
+    blk_cnt = jnp.sum(pops, axis=-1)  # [m, nb] values <= 128
+    prefix = _excl_prefix(blk_cnt)  # exclusive [m, nb]
     slots = jnp.arange(nsample, dtype=jnp.int32)
 
     # slot s lives in the LAST block whose prefix <= s (empty blocks have
@@ -89,13 +112,15 @@ def _select_from_words(words: Array, nsample: int, n: int):
     prefix_s = jnp.einsum(
         "msb,mb->ms", onehot, prefix.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # prefix values up to n
     )
     offset = slots[None, :] - prefix_s.astype(jnp.int32)  # rank within block
     words_s = jnp.einsum(
         "msb,mbw->msw", onehot, words, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # word values up to 65535
     )  # [m, ns, 8] packed bitmasks of the chosen block
     pops_s = jax.lax.population_count(words_s.astype(jnp.uint32)).astype(jnp.int32)
-    exc = jnp.cumsum(pops_s, axis=-1) - pops_s  # exclusive per-word prefix
+    exc = _excl_prefix(pops_s)  # exclusive per-word prefix (values <= 16)
     w_of = jnp.sum((exc <= offset[..., None]).astype(jnp.int32), axis=-1) - 1
     w_iota = jnp.arange(BS // W, dtype=jnp.int32)
     sel = w_iota[None, None, :] == w_of[..., None]
