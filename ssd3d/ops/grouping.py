@@ -322,38 +322,31 @@ def ball_query_withidx(
 def group_points(points: Array, idx: Array) -> Array:
     """points: [b, n, c], idx: int [b, m, s] -> [b, m, s, c].
 
-    Replaces CUDA GroupPoint (tf_grouping_g.cu:362); XLA's gather provides the
-    scatter-add gradient automatically. On TPU, low-channel gathers (the hot
-    layer-1 case) use a Pallas one-hot-matmul kernel that is bit-identical to
-    take_along_axis but ~10x faster (ssd3d/ops/pallas/gather.py); the Pallas
-    path is gradient-cut (grouping indices define a gather of inputs that are
-    themselves gradient-free in every call site: raw xyz + raw features)."""
+    Replaces CUDA GroupPoint (tf_grouping_g.cu:362). XLA's row gather costs
+    ~4-6 ns per ROW on TPU regardless of width, so narrow sources (the hot
+    layer-1 case: 4-channel packed xyz+feature rows, ~4.2M rows per batch-8
+    step) dispatch to a Pallas kernel that keeps the cloud VMEM-resident and
+    copies rows with dynamic sublane slices — bit-identical to
+    take_along_axis, ~1.9x faster, scatter-add VJP (the CUDA GroupPointGrad
+    contract). Wide sources stay on XLA's gather, which wins there
+    (0.7 ns/row at c=67)."""
     b, m, s = idx.shape
     c = points.shape[-1]
-    n = points.shape[1]
     flat = idx.reshape(b, m * s)
-    if (
-        _USE_PALLAS_GATHER
-        and jax.default_backend() == "tpu"
-        and c <= 8
-        and n % 128 == 0
-        and points.dtype == jnp.float32
-    ):
-        from ssd3d.ops.pallas.gather import gather_rows_pallas
+    if _USE_PALLAS_GATHER and jax.default_backend() == "tpu":
+        from ssd3d.ops.pallas import gather as pg
 
-        out = gather_rows_pallas(points, flat)
-        return out.reshape(b, m, s, c)
+        if pg.supports(points):
+            return pg.gather_rows_pallas(points, flat).reshape(b, m, s, c)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(b, m, s, points.shape[-1])
 
 
-# Experimental: the one-hot-matmul gather kernel (ssd3d/ops/pallas/gather.py)
-# is exact and has a scatter-add VJP, but its index operand still needs a
-# Mosaic-legal block layout (the (1, rows) block violates the 8x128 rule).
-# Measured on v5e: the one-hot matmul formulation underutilizes the MXU at
-# these tile shapes and LOSES to XLA's clustered-index gather (56 vs 93
-# scans/s end-to-end); a DMA-based design is the round-2 candidate.
-_USE_PALLAS_GATHER = False
+# Narrow-row gathers go through the Pallas dynamic-slice kernel
+# (ssd3d/ops/pallas/gather.py). An earlier one-hot-matmul formulation lost
+# to XLA (MXU underutilized at these tile shapes); the slice kernel wins
+# ~1.9x per row at c<=16 on v5e.
+_USE_PALLAS_GATHER = True
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -1,20 +1,18 @@
-"""Pallas kernel: exact row gather via one-hot MXU matmuls.
+"""Pallas kernel: row gather via unrolled dynamic sublane slices in VMEM.
 
-XLA's row gather on TPU is element-rate-limited (~10 ns/element); the big
-3DSSD grouping gathers (4.2M rows x 4 channels at layer 1) cost ~24 ms per
-batch. This kernel keeps the source cloud resident in VMEM and fetches each
-row with two dense steps: a one-hot [rows, n/128] MXU matmul pulls the
-row's 128-wide block per channel, then a one-hot lane reduction picks the
-element — no gather instruction anywhere.
+XLA's row gather on TPU costs ~4-6 ns per gathered ROW regardless of row
+width (per-row issue overhead dominates for narrow rows); the big 3DSSD
+layer-1 grouping gathers pull ~4.2M four-channel rows per batch-8 step,
+~24 ms. This kernel keeps the whole source cloud resident in VMEM and
+copies each row with a dynamic sublane slice, indices streamed through
+SMEM, 16 rows per unrolled loop body. Measured on v5e: 2.1-2.5 ns/row vs
+XLA's 4.1-4.2 at c<=8 (1.9x); at wide rows (c=67) XLA's gather wins
+(0.7 ns/row), so callers should only dispatch narrow sources here.
 
-Exactness: the one-hot operand is exactly representable, and the f32 source
-operand is moved through the MXU with HIGHEST precision (the bf16x3
-decomposition of f32 is exact, and multiplying by exactly 1.0 reconstructs
-the original value), so outputs are bit-identical to take_along_axis. This
-is asserted in the interpreter-mode parity test.
-
-Used for low-channel sources (c <= 8); wide-channel gathers fall back to
-XLA (the matmul cost scales with channels).
+bfloat16 sources with an even channel count are gathered as uint32 lane
+pairs (bitcast, exact). Forward output is bit-identical to
+take_along_axis; backward is a scatter-add custom VJP, the contract of
+CUDA GroupPointGrad (reference tf_grouping_g.cu:380).
 """
 
 from __future__ import annotations
@@ -23,46 +21,95 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_RT = 1024  # rows per grid step
-_BS = 128  # block size
+_RT = 4096  # rows per grid step
+_U = 16  # rows per unrolled loop body (one aligned [U, c] store)
 
 
-def _kernel(c: int, nb: int, idx_ref, src_ref, out_ref):
-    """idx_ref: [1, 1, RT, 1] (rows on sublanes); src_ref: [1, c, nb, BS];
-    out_ref: [1, RT, c]."""
-    idx = idx_ref[0, 0]  # [RT, 1]
-    blk = idx // _BS  # [RT, 1]
-    off = idx % _BS
+def _kernel(idx_ref, src_ref, out_ref):
+    """idx_ref: [RT] int32 in SMEM (flattened over batch); src_ref:
+    [1, n, c] VMEM; out_ref: [1, RT, c] VMEM."""
 
-    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (_RT, nb), 1)
-    onehot_blk = (blk_iota == blk).astype(jnp.float32)  # [RT, nb]
-    off_iota = jax.lax.broadcasted_iota(jnp.int32, (_RT, _BS), 1)
-    onehot_off = (off_iota == off).astype(jnp.float32)  # [RT, BS]
+    def body(r, carry):
+        rows = [
+            src_ref[0, pl.ds(idx_ref[r * _U + u], 1), :] for u in range(_U)
+        ]
+        out_ref[0, pl.ds(r * _U, _U), :] = jnp.concatenate(rows, axis=0)
+        return carry
 
-    cols = []
-    for ci in range(c):
-        src_c = src_ref[0, ci]  # [nb, BS]
-        tmp = jax.lax.dot_general(
-            onehot_blk, src_c,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [RT, BS] — the selected block's content, exact
-        cols.append(jnp.sum(tmp * onehot_off, axis=1, keepdims=True))
-    out_ref[0] = jnp.concatenate(cols, axis=1)  # [RT, c]
+    lax.fori_loop(0, _RT // _U, body, 0)
+
+
+def _gather_rows_raw(src: Array, idx: Array) -> Array:
+    b, n, c = src.shape
+    rows = idx.shape[1]
+    pad = (-rows) % _RT
+    idx_p = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, pad)))
+    rt = (rows + pad) // _RT
+    # SMEM blocks obey the same trailing-dims rule as VMEM; a 1D [RT] block
+    # over the flattened index stream satisfies it where (1, RT) would not.
+    idx_flat = idx_p.reshape(b * rt * _RT)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b, rt),
+        in_specs=[
+            pl.BlockSpec((_RT,), lambda i, j, rt=rt: (i * rt + j,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _RT, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rows + pad, c), src.dtype),
+        # The source block is lane-padded (c -> 128), so the compiler's
+        # DEFAULT VMEM budget check rejects larger clouds/batches with a
+        # hard crash on some backend builds; raising the declared limit
+        # compiles and runs fine (actual residency fits physical VMEM).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(idx_flat, src)
+    return out[:, :rows]
+
+
+@jax.jit
+def _gather_rows_impl(src: Array, idx: Array) -> Array:
+    b, n, c = src.shape
+    if src.dtype == jnp.bfloat16:
+        # exact: gather the 16-bit lane pairs as uint32 words
+        src32 = lax.bitcast_convert_type(
+            src.reshape(b, n, c // 2, 2), jnp.uint32
+        )
+        out32 = _gather_rows_raw(src32, idx)
+        return lax.bitcast_convert_type(
+            out32[..., None], jnp.bfloat16
+        ).reshape(b, idx.shape[1], c)
+    return _gather_rows_raw(src, idx)
 
 
 @jax.custom_vjp
 def gather_rows_pallas(src: Array, idx: Array) -> Array:
-    """src: [b, n, c] f32 (c <= 8, n % 128 == 0); idx: int32 [b, rows]
+    """src: [b, n, c] (f32/i32/u32, or bf16 with even c); idx: int32 [b, rows]
     -> [b, rows, c], bit-identical to take_along_axis. Differentiable wrt
-    src via a scatter-add custom VJP (the CUDA GroupPointGrad contract)."""
+    src via a scatter-add custom VJP."""
     return _gather_rows_impl(src, idx)
+
+
+def supports(src: Array) -> bool:
+    """Whether this kernel handles (and should handle) the source layout:
+    narrow rows where per-row overhead dominates XLA's gather, and a cloud
+    small enough to stay VMEM-resident (n x 128 lanes x 4 B <= ~12 MB)."""
+    b, n, c = src.shape
+    narrow = c <= 16
+    dtype_ok = src.dtype in (jnp.float32, jnp.int32, jnp.uint32) or (
+        src.dtype == jnp.bfloat16 and c % 2 == 0
+    )
+    return narrow and dtype_ok and n % 8 == 0 and n <= 24576
 
 
 def _gather_fwd(src, idx):
@@ -71,8 +118,8 @@ def _gather_fwd(src, idx):
 
 def _gather_bwd(res, g):
     idx, shape = res
-    b, n, c = shape
-    dsrc = jnp.zeros(shape, g.dtype)
+    b = shape[0]
+    dsrc = jnp.zeros(shape, g.dtype)  # cotangent dtype == src dtype
     dsrc = dsrc.at[
         jnp.arange(b, dtype=jnp.int32)[:, None], idx
     ].add(g)
@@ -80,36 +127,3 @@ def _gather_bwd(res, g):
 
 
 gather_rows_pallas.defvjp(_gather_fwd, _gather_bwd)
-
-
-@functools.partial(jax.jit, static_argnums=())
-def _gather_rows_impl(src: Array, idx: Array) -> Array:
-    b, n, c = src.shape
-    rows = idx.shape[1]
-    nb = n // _BS
-    pad = (-rows) % _RT
-    idx_p = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, pad)))
-    rt = (rows + pad) // _RT
-    # rows-on-sublanes index layout: [b, rt, RT, 1] (a (1, rows) lane-major
-    # block would violate Mosaic's 8x128 block rule)
-    idx_p = idx_p.reshape(b, rt, _RT, 1)
-    # channel-major blocked source: [b, c, nb, BS]
-    src_t = jnp.transpose(src.astype(jnp.float32), (0, 2, 1)).reshape(
-        b, c, nb, _BS
-    )
-
-    kernel = functools.partial(_kernel, c, nb)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, rt),
-        in_specs=[
-            pl.BlockSpec((1, 1, _RT, 1), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, nb, _BS), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _RT, c), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, rows + pad, c), jnp.float32),
-    )(idx_p, src_t)
-    return out[:, :rows]

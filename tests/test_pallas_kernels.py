@@ -65,8 +65,8 @@ def test_ring_words_kernel_exact(interpret, rng):
 
 
 def test_gather_kernel_exact_with_vjp(interpret, rng):
-    """Experimental gather kernel (off by default pending a Mosaic-legal
-    index layout): forward bit-exact, backward = scatter-add."""
+    """Dynamic-slice gather kernel: forward bit-exact vs take_along_axis,
+    backward = scatter-add (CUDA GroupPointGrad contract)."""
     import importlib
 
     import ssd3d.ops.pallas.gather as g
