@@ -19,6 +19,17 @@ def main():
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
     cfg = load_cfg(args.cfg, args.opts)
+    if cfg.DATASET.TYPE.upper() == "NUSCENES":
+        from ssd3d.data.nuscenes import convert_raw_nuscenes
+
+        ncfg = cfg.DATASET.NUSCENES
+        convert_raw_nuscenes(
+            ncfg.VERSION, ncfg.BASE_DIR_PATH, ncfg.SAVE_NUMPY_PATH,
+            nsweeps=ncfg.NSWEEPS,
+            feature_channels=ncfg.INPUT_FEATURE_CHANNEL,
+            val_scenes=ncfg.VAL_SCENE_LIST or None,
+        )
+        return
     if args.img_list in ("val", "test"):
         cfg.TRAIN.AUGMENTATIONS.MIXUP.OPEN = False
     run_preprocess(cfg, args.img_list, limit=args.limit)

@@ -97,6 +97,10 @@ def get_default_cfg() -> Config:
             SAVE_NUMPY_PATH="data/KITTI",
         ),
         NUSCENES=Config(
+            BASE_DIR_PATH="data/NuScenes/raw",
+            VERSION="v1.0-trainval",
+            SAVE_NUMPY_PATH="data/NuScenes",
+            VAL_SCENE_LIST="",  # official split file; empty = every 5th scene
             MAX_NUMBER_OF_VOXELS=32768,
             MAX_CUR_SAMPLE_POINTS_NUM=16384,
             NSWEEPS=10,

@@ -247,19 +247,235 @@ class NuScenesLoader:
             epoch += 1
 
 
-def convert_raw_nuscenes(version: str, dataroot: str, out_dir: str,
-                         nsweeps: int = 10, log=print):  # pragma: no cover
-    """Raw nuScenes -> our .npz schema. Requires the nuscenes-devkit (not
-    bundled); gated so the rest of the pipeline works without it."""
-    try:
-        from nuscenes.nuscenes import NuScenes
-        from pyquaternion import Quaternion
-    except ImportError as exc:
-        raise ImportError(
-            "convert_raw_nuscenes requires the nuscenes-devkit; install it "
-            "or produce the .npz schema documented in NuScenesLoader"
-        ) from exc
-    raise NotImplementedError(
-        "raw conversion is environment-dependent; see NuScenesLoader.load_sample "
-        "for the target .npz schema"
+# ---------------------------------------------------------------------------
+# Raw nuScenes conversion — devkit-free. The dataset's tables are plain JSON
+# and the point clouds are flat float32 .pcd.bin files, so the conversion the
+# reference delegates to the nuscenes-devkit (nuscenes_dataloader.py:182-257)
+# is re-implemented here with json + numpy only.
+
+# standard detection-challenge category collapse
+NUSC_CATEGORY_MAP = {
+    "vehicle.car": "car",
+    "vehicle.truck": "truck",
+    "vehicle.bus.bendy": "bus",
+    "vehicle.bus.rigid": "bus",
+    "vehicle.trailer": "trailer",
+    "vehicle.construction": "construction_vehicle",
+    "human.pedestrian.adult": "pedestrian",
+    "human.pedestrian.child": "pedestrian",
+    "human.pedestrian.construction_worker": "pedestrian",
+    "human.pedestrian.police_officer": "pedestrian",
+    "vehicle.motorcycle": "motorcycle",
+    "vehicle.bicycle": "bicycle",
+    "movable_object.trafficcone": "traffic_cone",
+    "movable_object.barrier": "barrier",
+}
+
+
+def quat_to_rot(q) -> np.ndarray:
+    """nuScenes [w, x, y, z] quaternion -> 3x3 rotation matrix."""
+    w, x, y, z = (float(v) for v in q)
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n == 0.0 else 2.0 / n
+    return np.array(
+        [
+            [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
+            [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
+            [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
+        ],
+        np.float64,
     )
+
+
+def _pose_mat(record) -> np.ndarray:
+    """ego_pose / calibrated_sensor record -> homogeneous 4x4."""
+    m = np.eye(4)
+    m[:3, :3] = quat_to_rot(record["rotation"])
+    m[:3, 3] = np.asarray(record["translation"], np.float64)
+    return m
+
+
+def _load_table(version_dir: str, name: str) -> dict:
+    import json
+
+    with open(os.path.join(version_dir, f"{name}.json")) as f:
+        return {rec["token"]: rec for rec in json.load(f)}
+
+
+def _read_lidar_bin(path: str) -> np.ndarray:
+    """LIDAR_TOP .pcd.bin: flat float32 (x, y, z, intensity, ring) records.
+    Returns [n, 4] (ring dropped)."""
+    pts = np.fromfile(path, np.float32)
+    return pts.reshape(-1, 5)[:, :4].copy()
+
+
+def convert_raw_nuscenes(version: str, dataroot: str, out_dir: str,
+                         nsweeps: int = 10, feature_channels: int = 4,
+                         val_scenes=None, log=print):
+    """Raw nuScenes tree -> one .npz per key frame (NuScenesLoader schema).
+
+    version: e.g. 'v1.0-mini' / 'v1.0-trainval' (the table directory name
+    under dataroot). val_scenes: iterable of scene names for the val split,
+    or a path to a text file of them; default is every 5th scene (pass the
+    official split list for challenge-comparable numbers).
+
+    Per sample: sweeps are chained through sample_data['prev'], transformed
+    into the key LIDAR frame via (ego_pose x calibrated_sensor) and tagged
+    with their time lag; annotations are mapped to detection classes,
+    velocities finite-differenced from the neighboring annotations of the
+    same instance (NaN when isolated — the velocity loss masks NaNs); boxes
+    and points are cast to the framework's camera-style frame."""
+    version_dir = os.path.join(dataroot, version)
+    scene = _load_table(version_dir, "scene")
+    sample = _load_table(version_dir, "sample")
+    sample_data = _load_table(version_dir, "sample_data")
+    ego_pose = _load_table(version_dir, "ego_pose")
+    calibrated = _load_table(version_dir, "calibrated_sensor")
+    annotation = _load_table(version_dir, "sample_annotation")
+    category = _load_table(version_dir, "category")
+    attribute = _load_table(version_dir, "attribute")
+    sensor = _load_table(version_dir, "sensor")
+    instance = _load_table(version_dir, "instance")
+
+    attr_idx = {
+        rec["name"]: NUSCENES_ATTRIBUTES.index(rec["name"])
+        for rec in attribute.values()
+        if rec["name"] in NUSCENES_ATTRIBUTES
+    }
+
+    # key-frame LIDAR_TOP sample_data per sample
+    key_sd = {}
+    for sd in sample_data.values():
+        ch = sensor[calibrated[sd["calibrated_sensor_token"]]["sensor_token"]]
+        if ch["channel"] == "LIDAR_TOP" and sd["is_key_frame"]:
+            key_sd[sd["sample_token"]] = sd
+
+    # annotations per sample
+    anns_of = {}
+    for ann in annotation.values():
+        anns_of.setdefault(ann["sample_token"], []).append(ann)
+
+    if isinstance(val_scenes, str):
+        with open(val_scenes) as f:
+            val_scenes = {line.strip() for line in f if line.strip()}
+    scenes_sorted = sorted(scene.values(), key=lambda s: s["name"])
+    if val_scenes is None:
+        val_scenes = {s["name"] for s in scenes_sorted[::5]}
+    else:
+        val_scenes = set(val_scenes)
+
+    lists = {"train": [], "val": []}
+    for sc in scenes_sorted:
+        split = "val" if sc["name"] in val_scenes else "train"
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        tok = sc["first_sample_token"]
+        while tok:
+            smp = sample[tok]
+            sd = key_sd[tok]
+            key_pose = _pose_mat(ego_pose[sd["ego_pose_token"]]) @ _pose_mat(
+                calibrated[sd["calibrated_sensor_token"]]
+            )
+            key_inv = np.linalg.inv(key_pose)
+            key_ts = smp["timestamp"] / 1e6
+
+            key_pts = _read_lidar_bin(os.path.join(dataroot, sd["filename"]))
+            sweeps = []
+            prev_tok = sd["prev"]
+            while prev_tok and len(sweeps) < nsweeps - 1:
+                psd = sample_data[prev_tok]
+                pose = _pose_mat(ego_pose[psd["ego_pose_token"]]) @ _pose_mat(
+                    calibrated[psd["calibrated_sensor_token"]]
+                )
+                rel = key_inv @ pose  # sweep sensor -> key sensor
+                sweeps.append(
+                    {
+                        "points": _read_lidar_bin(
+                            os.path.join(dataroot, psd["filename"])
+                        ),
+                        "rotation": rel[:3, :3],
+                        "translation": rel[:3, 3],
+                        "timestamp": psd["timestamp"] / 1e6,
+                    }
+                )
+                prev_tok = psd["prev"]
+
+            points, key_num = aggregate_sweeps(
+                key_pts, key_ts, sweeps, feature_channels=feature_channels
+            )
+
+            boxes, classes, velocity, attrs = [], [], [], []
+            for ann in anns_of.get(tok, []):
+                if ann.get("num_lidar_pts", 1) + ann.get("num_radar_pts", 0) == 0:
+                    continue
+                inst = instance[ann["instance_token"]]
+                cat_name = category[inst["category_token"]]["name"]
+                cls = NUSC_CATEGORY_MAP.get(cat_name)
+                if cls is None:
+                    continue
+                # global -> key sensor frame
+                ctr = key_inv[:3, :3] @ np.asarray(
+                    ann["translation"], np.float64
+                ) + key_inv[:3, 3]
+                r_box = key_inv[:3, :3] @ quat_to_rot(ann["rotation"])
+                yaw = float(np.arctan2(r_box[1, 0], r_box[0, 0]))
+                w, l, h = (float(v) for v in ann["size"])
+                boxes.append([ctr[0], ctr[1], ctr[2], w, l, h, yaw])
+                classes.append(cls)
+                velocity.append(
+                    _ann_velocity(ann, annotation, sample, key_inv[:3, :3])
+                )
+                at = [attr_idx[attribute[t]["name"]]
+                      for t in ann.get("attribute_tokens", [])
+                      if attribute[t]["name"] in attr_idx]
+                attrs.append(at[0] if at else -1)
+
+            boxes_np = (
+                cast_boxes_to_kitti(np.asarray(boxes, np.float32))
+                if boxes else np.zeros((0, 7), np.float32)
+            )
+            name = tok
+            np.savez_compressed(
+                os.path.join(out_dir, split, f"{name}.npz"),
+                points=points.astype(np.float32),
+                key_points_num=np.int64(key_num),
+                boxes_3d=boxes_np,
+                classes=np.asarray(classes),
+                velocity=np.asarray(velocity, np.float32).reshape(-1, 2),
+                attributes=np.asarray(attrs, np.int32),
+            )
+            lists[split].append(name)
+            tok = smp["next"]
+        log(f"scene {sc['name']} -> {split}")
+
+    for split, names in lists.items():
+        if names:
+            with open(os.path.join(out_dir, split, "list.txt"), "w") as f:
+                f.write("\n".join(names) + "\n")
+    log(f"wrote {len(lists['train'])} train / {len(lists['val'])} val samples")
+    return lists
+
+
+def _ann_velocity(ann, annotation, sample, rot_inv) -> tuple:
+    """Finite-difference velocity of an annotation (global frame, like the
+    devkit's box_velocity), rotated into the key sensor frame and cast to
+    the camera-style horizontal plane (vx, vz). NaN when the instance has
+    no temporal neighbors (the velocity loss masks NaNs)."""
+    first = annotation.get(ann["prev"]) if ann.get("prev") else None
+    last = annotation.get(ann["next"]) if ann.get("next") else None
+    a = first if first is not None else ann
+    b = last if last is not None else ann
+    if a is b:
+        return (np.nan, np.nan)
+    dt = (
+        sample[b["sample_token"]]["timestamp"]
+        - sample[a["sample_token"]]["timestamp"]
+    ) / 1e6
+    if dt <= 0:
+        return (np.nan, np.nan)
+    v_global = (
+        np.asarray(b["translation"], np.float64)
+        - np.asarray(a["translation"], np.float64)
+    ) / dt
+    v_sensor = rot_inv @ v_global
+    # cast (x, y, z) -> (x, -z, y): horizontal plane is (x_cam, z_cam)
+    return (float(v_sensor[0]), float(v_sensor[1]))

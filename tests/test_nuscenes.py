@@ -192,3 +192,126 @@ def test_nusc_metric_degrades():
     assert res["per_class"]["car"]["trans"] == pytest.approx(1.5, abs=0.01)
     assert res["per_class"]["car"]["orient"] == pytest.approx(0.3, abs=0.01)
     assert res["NDS"] < 0.9
+
+
+def _write_raw_nusc_tree(root):
+    """Minimal raw nuScenes v1.0 tree: 1 scene, 2 key frames, 1 sweep, one
+    moving car annotated in both frames. Key poses: frame 1 at the global
+    origin, frame 2 translated +2 m in x; the sweep sits at +1 m."""
+    import json
+
+    version_dir = os.path.join(root, "v1.0-test")
+    os.makedirs(version_dir)
+    os.makedirs(os.path.join(root, "samples/LIDAR_TOP"))
+    os.makedirs(os.path.join(root, "sweeps/LIDAR_TOP"))
+    qid = [1.0, 0.0, 0.0, 0.0]
+
+    def dump(name, recs):
+        with open(os.path.join(version_dir, f"{name}.json"), "w") as f:
+            json.dump(recs, f)
+
+    def bin_pts(rel, pts):
+        arr = np.zeros((len(pts), 5), np.float32)
+        arr[:, :3] = pts
+        arr[:, 3] = 128.0  # intensity
+        arr.tofile(os.path.join(root, rel))
+
+    bin_pts("samples/LIDAR_TOP/k1.bin", [[10.0, 0.0, 1.0], [0.0, 5.0, 0.0]])
+    bin_pts("samples/LIDAR_TOP/k2.bin", [[10.0, 0.0, 1.0]])
+    bin_pts("sweeps/LIDAR_TOP/s1.bin", [[0.0, 0.0, 0.0]])
+
+    dump("sensor", [{"token": "SEN", "channel": "LIDAR_TOP"}])
+    dump("calibrated_sensor", [{"token": "CS", "sensor_token": "SEN",
+                                "rotation": qid, "translation": [0, 0, 0]}])
+    dump("ego_pose", [
+        {"token": "EP1", "rotation": qid, "translation": [0, 0, 0]},
+        {"token": "EP2", "rotation": qid, "translation": [2, 0, 0]},
+        {"token": "EPS", "rotation": qid, "translation": [1, 0, 0]},
+    ])
+    dump("scene", [{"token": "SC", "name": "scene-0001",
+                    "first_sample_token": "S1"}])
+    dump("sample", [
+        {"token": "S1", "timestamp": 0, "prev": "", "next": "S2",
+         "scene_token": "SC"},
+        {"token": "S2", "timestamp": 500000, "prev": "S1", "next": "",
+         "scene_token": "SC"},
+    ])
+    dump("sample_data", [
+        {"token": "SD1", "sample_token": "S1", "ego_pose_token": "EP1",
+         "calibrated_sensor_token": "CS", "is_key_frame": True,
+         "filename": "samples/LIDAR_TOP/k1.bin", "prev": "", "next": "SDS",
+         "timestamp": 0},
+        {"token": "SDS", "sample_token": "S2", "ego_pose_token": "EPS",
+         "calibrated_sensor_token": "CS", "is_key_frame": False,
+         "filename": "sweeps/LIDAR_TOP/s1.bin", "prev": "SD1", "next": "SD2",
+         "timestamp": 250000},
+        {"token": "SD2", "sample_token": "S2", "ego_pose_token": "EP2",
+         "calibrated_sensor_token": "CS", "is_key_frame": True,
+         "filename": "samples/LIDAR_TOP/k2.bin", "prev": "SDS", "next": "",
+         "timestamp": 500000},
+    ])
+    dump("category", [{"token": "CAT", "name": "vehicle.car"}])
+    dump("attribute", [{"token": "ATT", "name": "vehicle.moving"}])
+    dump("instance", [{"token": "INST", "category_token": "CAT"}])
+    # car at global (10, 0, 1) in S1 moving to (12, 0, 1) in S2 -> 4 m/s in x
+    dump("sample_annotation", [
+        {"token": "A1", "sample_token": "S1", "instance_token": "INST",
+         "attribute_tokens": ["ATT"], "translation": [10, 0, 1],
+         "size": [1.9, 4.6, 1.7], "rotation": qid, "prev": "", "next": "A2",
+         "num_lidar_pts": 5, "num_radar_pts": 0},
+        {"token": "A2", "sample_token": "S2", "instance_token": "INST",
+         "attribute_tokens": ["ATT"], "translation": [12, 0, 1],
+         "size": [1.9, 4.6, 1.7], "rotation": qid, "prev": "A1", "next": "",
+         "num_lidar_pts": 5, "num_radar_pts": 0},
+    ])
+    return version_dir
+
+
+def test_convert_raw_nuscenes(tmp_path):
+    """Devkit-free raw converter: sweep transform, dt channel, box cast,
+    finite-difference velocity, attribute index, split lists."""
+    from ssd3d.data.nuscenes import convert_raw_nuscenes
+
+    root = str(tmp_path / "raw")
+    os.makedirs(root)
+    _write_raw_nusc_tree(root)
+    out = str(tmp_path / "npz")
+    lists = convert_raw_nuscenes("v1.0-test", root, out, nsweeps=10,
+                                 feature_channels=5, log=lambda *a: None)
+    # scene index 0 -> val by the default every-5th rule
+    assert lists["val"] == ["S1", "S2"] and lists["train"] == []
+
+    d1 = np.load(os.path.join(out, "val", "S1.npz"), allow_pickle=True)
+    # frame 1: no sweeps; 2 key points cast (x,y,z)->(x,-z,y)
+    assert int(d1["key_points_num"]) == 2
+    np.testing.assert_allclose(
+        d1["points"][:, :3], [[10, -1, 0], [0, 0, 5]], atol=1e-5)
+    np.testing.assert_allclose(d1["points"][:, 3], 128 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(d1["points"][:, 4], 0.0)  # key-frame dt
+    # box: global == sensor frame here; cast to (x, y_bottom, z, l, h, w, ry)
+    np.testing.assert_allclose(
+        d1["boxes_3d"][0], [10, -1 + 1.7 / 2, 0, 4.6, 1.7, 1.9, 0], atol=1e-5)
+    assert str(d1["classes"][0]) == "car"
+    np.testing.assert_allclose(d1["velocity"][0], [4.0, 0.0], atol=1e-5)
+    assert d1["attributes"][0] == 0  # vehicle.moving
+
+    d2 = np.load(os.path.join(out, "val", "S2.npz"), allow_pickle=True)
+    # frame 2 key pose is +2 m: its sweep (pose +1 m, local origin point)
+    # lands at key-frame x = -1 -> cast (-1, 0, 0); dt = 0.25 s
+    assert int(d2["key_points_num"]) == 1
+    sweep_rows = d2["points"][1:]
+    np.testing.assert_allclose(sweep_rows[0, :3], [-1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(sweep_rows[0, 4], 0.25, atol=1e-6)
+    # box at global (12,0,1) -> key frame (10,0,1)
+    np.testing.assert_allclose(d2["boxes_3d"][0][:3], [10, -1 + 1.7 / 2, 0],
+                               atol=1e-5)
+
+    # the loader consumes the converted tree directly
+    cfg = load_cfg("configs/nuscenes/3dssd/3dssd.yaml")
+    cfg.DATASET.NUSCENES.INPUT_FEATURE_CHANNEL = 5
+    loader = NuScenesLoader(cfg, "val", data_dir=os.path.join(out, "val"),
+                            training=False)
+    sample = loader.load_sample(0)
+    assert sample["points"].shape == (16384, 5)
+    assert sample["gt_labels"][0] == 1  # car is class 1 in CLS_LIST
+    np.testing.assert_allclose(sample["gt_velocity"][0], [4, 0], atol=1e-5)
