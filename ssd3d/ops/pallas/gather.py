@@ -102,14 +102,15 @@ def gather_rows_pallas(src: Array, idx: Array) -> Array:
 
 def supports(src: Array) -> bool:
     """Whether this kernel handles (and should handle) the source layout:
-    narrow rows where per-row overhead dominates XLA's gather, and a cloud
-    small enough to stay VMEM-resident (n x 128 lanes x 4 B <= ~12 MB)."""
+    rows up to one lane-tile wide (the VMEM block is lane-padded to 128
+    either way) from a cloud small enough to stay VMEM-resident
+    (n x 128 lanes x 4 B <= ~12 MB). Measured on v5e: 2.1-2.5 ns/row at
+    c<=8 and 1.6 ns/row at c=67 vs XLA's in-model 4-6 ns/row."""
     b, n, c = src.shape
-    narrow = c <= 16
     dtype_ok = src.dtype in (jnp.float32, jnp.int32, jnp.uint32) or (
         src.dtype == jnp.bfloat16 and c % 2 == 0
     )
-    return narrow and dtype_ok and n % 8 == 0 and n <= 24576
+    return c <= 128 and dtype_ok and n % 8 == 0 and n <= 24576
 
 
 def _gather_fwd(src, idx):
