@@ -322,7 +322,13 @@ def ball_query_withidx(
 def group_points(points: Array, idx: Array) -> Array:
     """points: [b, n, c], idx: int [b, m, s] -> [b, m, s, c].
 
-    Replaces CUDA GroupPoint (tf_grouping_g.cu:362). XLA's row gather costs
+    Contract note: CUDA GroupPoint (tf_grouping_g.cu:362) maps idx == -1 to
+    zeros; here indices must be in [0, n) (negative/overflowing indices
+    clamp). No in-repo producer emits -1 — ball queries pad by repeating the
+    first hit and the RoI poolers sanitize empty boxes to index 0 before
+    gathering (two_stage.py RegionPool/PointsPool).
+
+    Replaces CUDA GroupPoint. XLA's row gather costs
     ~4-6 ns per ROW on TPU regardless of width, so narrow sources (the hot
     layer-1 case: 4-channel packed xyz+feature rows, ~4.2M rows per batch-8
     step) dispatch to a Pallas kernel that keeps the cloud VMEM-resident and
