@@ -46,6 +46,11 @@ class PointBackbone(nn.Module):
     use_gn: bool = False
     axis_name: str | None = None
     compute_dtype: Any = None
+    # rematerialize each layer's activations in the backward pass (MODEL.REMAT)
+    # — trades recompute for HBM so deep stacks (end-to-end two-stage
+    # training) fit; the reference never needed this because TF1 towers
+    # recompute per-GPU at much smaller batch.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, points: Array, train: bool, bn_momentum: Array | float = 0.9,
@@ -65,6 +70,19 @@ class PointBackbone(nn.Module):
         # names both the gather-only SA layer and the Vote_Layer "vote");
         # flax module names must be unique.
         used_names: set = set()
+
+        # `train` drives python control flow (BN mode) -> static under remat
+        if self.remat:
+            SAModuleMSG = nn.remat(
+                PointnetSAModuleMSG, static_argnums=(5,), prevent_cse=False)
+            Vote = nn.remat(VoteLayer, static_argnums=(3,), prevent_cse=False)
+            FPModule = nn.remat(
+                PointnetFPModule, static_argnums=(5,), prevent_cse=False)
+            SAGlobal = nn.remat(
+                PointnetSAModuleGlobal, static_argnums=(3,), prevent_cse=False)
+        else:
+            SAModuleMSG, Vote = PointnetSAModuleMSG, VoteLayer
+            FPModule, SAGlobal = PointnetFPModule, PointnetSAModuleGlobal
 
         for layer_i, spec in enumerate(self.architecture):
             (
@@ -87,7 +105,7 @@ class PointBackbone(nn.Module):
             vote_ctr = xyz_list[vote_ctr_from] if vote_ctr_from != -1 else None
 
             if layer_type == "SA_Layer":
-                new_xyz, new_feat, new_fps_idx = PointnetSAModuleMSG(
+                new_xyz, new_feat, new_fps_idx = SAModuleMSG(
                     radius_list=tuple(radius_list),
                     nsample_list=tuple(nsample_list),
                     mlp_list=tuple(tuple(m) for m in mlp_list),
@@ -108,7 +126,7 @@ class PointBackbone(nn.Module):
                 fps_idx_list.append(new_fps_idx)
 
             elif layer_type == "Vote_Layer":
-                new_xyz, new_feat, offsets = VoteLayer(
+                new_xyz, new_feat, offsets = Vote(
                     mlp=tuple(mlp_list),
                     max_translate_range=tuple(self.max_translate_range),
                     bn=bn,
@@ -123,7 +141,7 @@ class PointBackbone(nn.Module):
                 fps_idx_list.append(None)
 
             elif layer_type == "FP_Layer":
-                new_feat = PointnetFPModule(
+                new_feat = FPModule(
                     mlp=tuple(mlp_list),
                     bn=bn,
                     use_gn=self.use_gn,
@@ -135,7 +153,7 @@ class PointBackbone(nn.Module):
                 fps_idx_list.append(None)
 
             elif layer_type == "SA_Layer_SSG_Last":
-                new_feat = PointnetSAModuleGlobal(
+                new_feat = SAGlobal(
                     mlp=tuple(mlp_list),
                     bn=bn,
                     use_gn=self.use_gn,
