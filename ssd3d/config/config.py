@@ -60,6 +60,15 @@ class Config(dict):
                 v.freeze(frozen)
         return self
 
+    def __reduce__(self):
+        # dict-subclass pickling bypasses __init__, so __setitem__ would run
+        # before `_frozen` exists; rebuild through the constructor instead
+        # (needed by the multiprocess loader, which ships a pickled loader).
+        return (
+            _rebuild_config,
+            (self.to_dict(), object.__getattribute__(self, "_frozen")),
+        )
+
     def clone(self) -> "Config":
         out = Config()
         for k, v in self.items():
@@ -70,6 +79,13 @@ class Config(dict):
         return {
             k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()
         }
+
+
+def _rebuild_config(d: dict, frozen: bool) -> "Config":
+    c = Config(d)
+    if frozen:
+        c.freeze(True)
+    return c
 
 
 def get_default_cfg() -> Config:

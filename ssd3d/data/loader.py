@@ -12,7 +12,9 @@ would retrigger XLA compilation; a static cap keeps one compiled program).
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import os
+import pickle
 import queue
 import threading
 
@@ -22,6 +24,32 @@ from ssd3d.data.augment import Augmentor
 from ssd3d.data.kitti_io import KittiScene
 
 MAX_GT = 64  # static GT cap; KITTI scenes top out far below this after mixup
+
+
+def _collate(samples):
+    keys = [k for k in samples[0] if k != "name"]
+    batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+    batch["names"] = np.asarray([s["name"] for s in samples])
+    return batch
+
+
+def _mp_worker(loader_bytes, task_q, out_q):
+    """Worker-process loop: pull an (epoch, index) block, emit a collated
+    batch. The loader is rebuilt from a pickle so 'spawn' contexts work too."""
+    try:
+        loader = pickle.loads(loader_bytes)
+        while True:
+            idxs = task_q.get()
+            if idxs is None:
+                out_q.put(None)
+                return
+            samples = [loader.load_sample(i, epoch_seed=e) for e, i in idxs]
+            out_q.put(_collate(samples))
+    except BaseException as exc:  # surface worker crashes in the parent
+        import traceback
+
+        out_q.put(RuntimeError(
+            f"loader worker failed: {exc!r}\n{traceback.format_exc()}"))
 
 
 class MixupDatabase:
@@ -199,29 +227,39 @@ class KittiLoader:
         }
 
     # ------------------------------------------------------------------
-    def batches(self, batch_size: int, epochs: int | None = None,
-                num_threads: int = 2, shuffle: bool | None = None):
-        """Yield stacked fixed-shape batches, thread-prefetched."""
-        shuffle = self.training if shuffle is None else shuffle
+    def _index_stream(self, batch_size: int, epochs: int | None,
+                      shuffle: bool):
         n = len(self.names)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])
+            ).permutation(n) if shuffle else np.arange(n)
+            for i in order:
+                yield epoch, int(i)
+            epoch += 1
 
-        def index_stream():
-            epoch = 0
-            while epochs is None or epoch < epochs:
-                order = np.random.default_rng(
-                    np.random.SeedSequence([self.seed, epoch])
-                ).permutation(n) if shuffle else np.arange(n)
-                for i in order:
-                    yield epoch, int(i)
-                epoch += 1
+    def batches(self, batch_size: int, epochs: int | None = None,
+                num_threads: int = 2, shuffle: bool | None = None,
+                num_procs: int = 0, mp_method: str = "fork"):
+        """Yield stacked fixed-shape batches, prefetched.
 
-        def collate(samples):
-            keys = [k for k in samples[0] if k != "name"]
-            batch = {k: np.stack([s[k] for s in samples]) for k in keys}
-            batch["names"] = np.asarray([s["name"] for s in samples])
-            return batch
+        num_procs=0 (default): thread workers — numpy releases the GIL for
+        most of the augmentation math, and the TPU step usually hides host
+        time anyway. num_procs>0: worker *processes* (the reference's ZMQ
+        multiprocess pipeline, data_provider.py:265-404, minus the ZMQ — a
+        pickled loader per worker over mp queues). Every sample is a pure
+        function of (epoch, index), so batch contents are identical under
+        either scheme; only batch arrival order varies with scheduling.
+        """
+        shuffle = self.training if shuffle is None else shuffle
+        if num_procs > 0:
+            yield from self._batches_mp(
+                batch_size, epochs, shuffle, num_procs, mp_method)
+            return
 
-        stream = index_stream()
+        collate = _collate
+        stream = self._index_stream(batch_size, epochs, shuffle)
         lock = threading.Lock()
         out_q: queue.Queue = queue.Queue(maxsize=4)
         stop = threading.Event()
@@ -258,3 +296,63 @@ class KittiLoader:
                 yield item
         finally:
             stop.set()
+
+    def _batches_mp(self, batch_size, epochs, shuffle, num_procs, mp_method):
+        ctx = mp.get_context(mp_method)
+        task_q = ctx.Queue(maxsize=2 * num_procs)
+        out_q = ctx.Queue(maxsize=2 * num_procs)
+        loader_bytes = pickle.dumps(self)
+        procs = [
+            ctx.Process(target=_mp_worker,
+                        args=(loader_bytes, task_q, out_q), daemon=True)
+            for _ in range(num_procs)
+        ]
+        for p in procs:
+            p.start()
+
+        stream = self._index_stream(batch_size, epochs, shuffle)
+        exhausted = threading.Event()
+
+        def feeder():
+            while True:
+                idxs = []
+                for _ in range(batch_size):
+                    try:
+                        idxs.append(next(stream))
+                    except StopIteration:
+                        break
+                if len(idxs) < batch_size:
+                    for _ in procs:
+                        task_q.put(None)
+                    exhausted.set()
+                    return
+                task_q.put(idxs)
+
+        feed_thread = threading.Thread(target=feeder, daemon=True)
+        feed_thread.start()
+        finished = 0
+        try:
+            while finished < len(procs):
+                try:
+                    item = out_q.get(timeout=5.0)
+                except queue.Empty:
+                    # a worker that died without reporting (segfault, OOM
+                    # kill) must not hang the trainer
+                    dead = [p for p in procs if not p.is_alive()
+                            and p.exitcode not in (0, None)]
+                    if dead:
+                        raise RuntimeError(
+                            "loader worker died with exit code(s) "
+                            f"{[p.exitcode for p in dead]}")
+                    continue
+                if item is None:
+                    finished += 1
+                    continue
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)

@@ -40,6 +40,7 @@ class SingleStageDetector(nn.Module):
     use_gn: bool = False
     axis_name: str | None = None
     compute_dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, points: Array, train: bool, bn_momentum: Array | float = 0.9):
@@ -50,6 +51,7 @@ class SingleStageDetector(nn.Module):
             aggregation_sa_feature=self.aggregation_sa_feature,
             use_gn=self.use_gn,
             axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="backbone",
         )(points, train, bn_momentum)
 
@@ -187,6 +189,7 @@ def build_detector(cfg, stage: str = "FIRST_STAGE", axis_name: str | None = None
         aggregation_sa_feature=cfg.MODEL.NETWORK.AGGREGATION_SA_FEATURE,
         use_gn=cfg.MODEL.NETWORK.USE_GN,
         axis_name=axis_name,
+        remat=cfg.TPU.REMAT_SA_LAYERS,
     )
     spec = DetectorSpec(
         cls_list=cls_list,

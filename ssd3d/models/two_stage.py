@@ -201,6 +201,7 @@ class TwoStageDetector(nn.Module):
     use_gn: bool = False
     axis_name: str | None = None
     compute_dtype: Any = None
+    remat: bool = False
 
     def setup(self):
         self.rpn_backbone = PointBackbone(
@@ -209,6 +210,7 @@ class TwoStageDetector(nn.Module):
             aggregation_sa_feature=self.aggregation_sa_feature,
             use_gn=self.use_gn,
             axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="rpn_backbone",
         )
         heads = []
@@ -244,6 +246,7 @@ class TwoStageDetector(nn.Module):
             aggregation_sa_feature=self.aggregation_sa_feature,
             use_gn=self.use_gn,
             axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="rcnn_backbone",
         )
         rheads = []
@@ -449,5 +452,6 @@ def build_two_stage(cfg, axis_name: str | None = None, nms_pre_topk=2048):
         aggregation_sa_feature=cfg.MODEL.NETWORK.AGGREGATION_SA_FEATURE,
         use_gn=cfg.MODEL.NETWORK.USE_GN,
         axis_name=axis_name,
+        remat=cfg.TPU.REMAT_SA_LAYERS,
     )
     return model, rpn_spec, rcnn_spec

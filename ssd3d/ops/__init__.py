@@ -15,7 +15,7 @@ from ssd3d.ops.grouping import (
     query_points_iou,
 )
 from ssd3d.ops.interpolate import three_nn, three_interpolate, k_interpolate
-from ssd3d.ops.nms import nms_bev, batched_class_nms
+from ssd3d.ops.nms import nms_bev, batched_class_nms, soft_nms_bev, iou_guided_nms, class_unaware_nms, points_mask_nms
 
 __all__ = [
     "farthest_point_sample",
@@ -35,4 +35,8 @@ __all__ = [
     "k_interpolate",
     "nms_bev",
     "batched_class_nms",
+    "soft_nms_bev",
+    "iou_guided_nms",
+    "class_unaware_nms",
+    "points_mask_nms",
 ]

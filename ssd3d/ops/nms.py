@@ -134,6 +134,62 @@ def soft_nms_bev(bev_boxes: Array, scores: Array, max_output: int,
     return order.astype(jnp.int32), sel_scores, valid
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def iou_guided_nms(
+    iou_matrix: Array, scores: Array, iou_3d: Array, max_output: int,
+    iou_threshold: float = 0.1,
+):
+    """IoU-branch-guided greedy NMS (reference np_functions/gt_sampler.py:8-24
+    + cython_nms.pyx matrix_iou_guided_nms): candidates are visited in
+    descending *ensemble* score = cls_score * predicted_iou_3d, suppressing
+    any unvisited candidate whose (precomputed, typically rotated-3D) IoU with
+    the kept box is >= the threshold.
+
+    iou_matrix: [k, k]; scores, iou_3d: [k]
+    -> (idx int32 [max_output] into the input, ensemble scores [max_output],
+        valid bool [max_output]); idx entries are in ensemble-score order.
+    """
+    k = scores.shape[0]
+    ensemble = scores * iou_3d
+    order = jnp.argsort(-ensemble)
+    iou_sorted = iou_matrix[order][:, order]
+    suppress = iou_sorted >= iou_threshold
+
+    def body(i, keep):
+        kill = suppress[i] & (jnp.arange(k) > i) & keep[i]
+        return keep & ~kill
+
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), bool))
+
+    iota = jnp.arange(k, dtype=jnp.int32)
+    sel = jnp.argsort(jnp.where(keep, iota, k + iota))
+    picked = order[sel]
+    if max_output <= k:
+        picked = picked[:max_output]
+    else:
+        picked = jnp.pad(picked, (0, max_output - k))
+    cnt = jnp.sum(keep)
+    valid = jnp.arange(max_output) < jnp.minimum(cnt, max_output)
+    idx = jnp.where(valid, picked, 0).astype(jnp.int32)
+    return idx, jnp.where(valid, ensemble[idx], 0.0), valid
+
+
+def points_mask_nms(points_iou: Array, scores: Array, max_output: int,
+                    iou_threshold: float):
+    """NMS where "overlap" is the IoU of point-membership masks (reference
+    nms_kernel.cu PointsNms/PointsNmsBlock:113-152 — IPOD/STD legacy).
+    Compose the matrix with ops.query_points_iou or core.iou mask IoU;
+    suppression itself is the generic greedy sweep over a precomputed
+    matrix (score order, >= threshold).
+
+    points_iou: [k, k]; scores: [k] -> (idx [max_output], valid [max_output]).
+    """
+    idx, _, valid = iou_guided_nms(
+        points_iou, scores, jnp.ones_like(scores), max_output, iou_threshold
+    )
+    return idx, valid
+
+
 def batched_class_nms(
     boxes_3d: Array,
     bev_boxes: Array,

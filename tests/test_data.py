@@ -139,6 +139,11 @@ def test_run_preprocess_and_loader(mini_kitti, tmp_path):
     loader3 = KittiLoader(cfg, "train", training=True, seed=8)
     batch3 = next(loader3.batches(2, epochs=1, num_threads=1))
     assert not np.array_equal(batch["points"], batch3["points"])
+    # multiprocess path (reference's ZMQ pipeline analog): same contents
+    loader4 = KittiLoader(cfg, "train", training=True, seed=7)
+    batch4 = next(loader4.batches(2, epochs=1, num_procs=2))
+    np.testing.assert_array_equal(batch["points"], batch4["points"])
+    np.testing.assert_array_equal(batch["gt_boxes"], batch4["gt_boxes"])
 
 
 def test_budget_points(rng):

@@ -243,3 +243,50 @@ def test_knn(rng):
     d_full = ((q[0][:, None] - xyz[0][None]) ** 2).sum(-1)
     want = np.sort(d_full, axis=1)[:, :4]
     np.testing.assert_allclose(np.asarray(d2)[0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_iou_guided_nms_matches_oracle(rng):
+    """Oracle re-derives cython_nms.pyx matrix_iou_guided_nms:226-265:
+    visit in descending score*iou_3d, suppress iou >= thresh."""
+    n = 48
+    scores = rng.rand(n).astype(np.float32)
+    iou_3d = rng.rand(n).astype(np.float32)
+    # symmetric random "IoU" matrix with unit diagonal
+    m = rng.rand(n, n).astype(np.float32)
+    iou = (m + m.T) / 2
+    np.fill_diagonal(iou, 1.0)
+
+    idx, ens, valid = ops.iou_guided_nms(
+        jnp.asarray(iou), jnp.asarray(scores), jnp.asarray(iou_3d), 16, 0.7
+    )
+    idx, ens, valid = np.asarray(idx), np.asarray(ens), np.asarray(valid)
+
+    ensemble = scores * iou_3d
+    order = np.argsort(-ensemble)
+    suppressed = np.zeros(n, bool)
+    kept = []
+    for _i, i in enumerate(order):
+        if suppressed[i]:
+            continue
+        kept.append(i)
+        for j in order[_i + 1:]:
+            if not suppressed[j] and iou[i, j] >= 0.7:
+                suppressed[j] = True
+    kept = kept[:16]
+    np.testing.assert_array_equal(idx[valid], kept[: valid.sum()])
+    np.testing.assert_allclose(ens[valid], ensemble[kept][: valid.sum()], rtol=1e-6)
+
+
+def test_soft_nms_decays_overlaps(rng):
+    n = 32
+    boxes = rng.uniform(0, 10, size=(n, 2)).astype(np.float32)
+    wh = rng.uniform(1, 3, size=(n, 2)).astype(np.float32)
+    bev = np.concatenate([boxes, boxes + wh], axis=1)
+    scores = rng.rand(n).astype(np.float32)
+    order, sel_scores, valid = ops.soft_nms_bev(
+        jnp.asarray(bev), jnp.asarray(scores), 8
+    )
+    order, sel_scores = np.asarray(order), np.asarray(sel_scores)
+    # first pick is the global max, scores monotonically non-increasing
+    assert order[0] == int(np.argmax(scores))
+    assert np.all(np.diff(sel_scores[np.asarray(valid)]) <= 1e-6)

@@ -225,3 +225,27 @@ def test_train_step_sharded_multichip(tiny_train):
     # params identical across devices (replicated update)
     leaf = jax.tree.leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_train_step_remat_matches(tiny_train):
+    """TPU.REMAT_SA_LAYERS recomputes backbone activations in the backward
+    pass; losses/grads must be numerically unchanged."""
+    cfg, graph, state, batch = tiny_train
+    cfg2 = tiny_cfg()
+    cfg2.MODEL.FIRST_STAGE.CORNER_LOSS = True
+    cfg2.SOLVER.TYPE = "Adam"
+    cfg2.SOLVER.BASE_LR = 0.002
+    cfg2.TPU.REMAT_SA_LAYERS = True
+    model2, spec2 = build_detector(cfg2)
+    graph2 = TrainGraph.build(cfg2, model2, spec2)
+    state2 = graph2.init_state(jax.random.PRNGKey(0), batch["points"])
+
+    rng = jax.random.PRNGKey(7)
+    total1, _ = graph.compute_losses(
+        state.params, state.batch_stats, batch, rng, 0.9)
+    total2, _ = graph2.compute_losses(
+        state2.params, state2.batch_stats, batch, rng, 0.9)
+    np.testing.assert_allclose(float(total1), float(total2), rtol=1e-5)
+
+    _, metrics2 = jax.jit(graph2.train_step)(state2, batch, rng)
+    assert np.isfinite(float(metrics2["total"]))
