@@ -74,11 +74,12 @@ def main():
         print(f"ball_query_multi ring{k}: {bad}/{m} rows wrong")
         failures += bad
 
-    # Pallas gather (narrow f32 + bf16) vs take_along_axis
-    for b, c, dt in [(8, 4, jnp.float32), (16, 4, jnp.float32),
-                     (2, 6, jnp.bfloat16)]:
-        src = jnp.asarray(rng.randn(b, n, c).astype(np.float32)).astype(dt)
-        gidx = jnp.asarray(rng.randint(0, n, (b, 512, 32)).astype(np.int32))
+    # Pallas gather (narrow f32 + bf16, plus the two-lane-tile c=131
+    # layer-3 packed shape) vs take_along_axis
+    for b, gn, c, dt in [(8, n, 4, jnp.float32), (16, n, 4, jnp.float32),
+                         (2, n, 6, jnp.bfloat16), (8, 1024, 131, jnp.float32)]:
+        src = jnp.asarray(rng.randn(b, gn, c).astype(np.float32)).astype(dt)
+        gidx = jnp.asarray(rng.randint(0, gn, (b, 512, 32)).astype(np.int32))
         got = np.asarray(jax.jit(group_points)(src, gidx).astype(jnp.float32))
         want = np.asarray(
             jnp.take_along_axis(
@@ -86,7 +87,7 @@ def main():
             ).astype(jnp.float32)
         ).reshape(b, 512, 32, c)
         ok = np.array_equal(got, want)
-        print(f"group_points b={b} c={c} {np.dtype(dt).name}: exact={ok}")
+        print(f"group_points b={b} n={gn} c={c} {np.dtype(dt).name}: exact={ok}")
         failures += 0 if ok else 1
 
     # D-FPS uniqueness (duplicate picks = distance-precision regression)

@@ -102,15 +102,19 @@ def gather_rows_pallas(src: Array, idx: Array) -> Array:
 
 def supports(src: Array) -> bool:
     """Whether this kernel handles (and should handle) the source layout:
-    rows up to one lane-tile wide (the VMEM block is lane-padded to 128
-    either way) from a cloud small enough to stay VMEM-resident
-    (n x 128 lanes x 4 B <= ~12 MB). Measured on v5e: 2.1-2.5 ns/row at
-    c<=8 and 1.6 ns/row at c=67 vs XLA's in-model 4-6 ns/row."""
+    rows up to two lane-tiles wide (the VMEM block is lane-padded to a
+    multiple of 128 either way) from a cloud small enough to stay
+    VMEM-resident. Measured on v5e: 2.1-2.5 ns/row at c<=8 and 1.6 ns/row at
+    c=67 vs XLA's in-model 4-6 ns/row; two-tile rows (c=131, the layer-3
+    packed feature+xyz source) still win, three-tile rows (c=259, CG layer)
+    lose to XLA's gather and stay off."""
     b, n, c = src.shape
     dtype_ok = src.dtype in (jnp.float32, jnp.int32, jnp.uint32) or (
         src.dtype == jnp.bfloat16 and c % 2 == 0
     )
-    return c <= 128 and dtype_ok and n % 8 == 0 and n <= 24576
+    lanes = -(-c // 128) * 128
+    vmem_ok = n * lanes * 4 <= 12 * 1024 * 1024
+    return c <= 256 and dtype_ok and n % 8 == 0 and vmem_ok
 
 
 def _gather_fwd(src, idx):
@@ -120,6 +124,11 @@ def _gather_fwd(src, idx):
 def _gather_bwd(res, g):
     idx, shape = res
     b = shape[0]
+    # Stays on XLA's scatter: inside the train step XLA fuses it into a
+    # windowed scoped-VMEM kCustom scatter (7.2 ms for 524k x 67 f32 rows).
+    # A Pallas sequential-RMW kernel (ops/pallas/scatter_add.py) measured
+    # 53.7 ms on the same shape — the per-row read-modify-write dependency
+    # chain through VMEM serializes at ~100 ns/row, so it is NOT wired in.
     dsrc = jnp.zeros(shape, g.dtype)  # cotangent dtype == src dtype
     dsrc = dsrc.at[
         jnp.arange(b, dtype=jnp.int32)[:, None], idx
