@@ -90,6 +90,26 @@ def main():
         print(f"group_points b={b} n={gn} c={c} {np.dtype(dt).name}: exact={ok}")
         failures += 0 if ok else 1
 
+    # F-FPS Pallas kernel vs the jnp while-loop reference, exact idx match
+    from ssd3d.ops.sampling import farthest_point_sample_from_dist
+    from ssd3d.core.geometry import square_distance
+
+    for fb, fn, fm in [(8, 1024, 512), (8, 512, 256), (3, 1024, 512)]:
+        feats = jnp.asarray(rng.randn(fb, fn, 64).astype(np.float32))
+        dmat = jax.jit(square_distance)(feats, feats)
+        got = np.asarray(
+            jax.jit(lambda d: farthest_point_sample_from_dist(d, fm))(dmat)
+        )
+        want = np.asarray(
+            jax.jit(
+                lambda d: farthest_point_sample_from_dist(d, fm, False)
+            )(dmat)
+        )
+        ok = np.array_equal(got, want)
+        uniq = min(len(np.unique(got[i])) for i in range(fb))
+        print(f"ffps b={fb} n={fn} m={fm}: exact={ok} min_unique={uniq}/{fm}")
+        failures += 0 if (ok and uniq == fm) else 1
+
     # D-FPS uniqueness (duplicate picks = distance-precision regression)
     fps = np.asarray(jax.jit(lambda a: farthest_point_sample(a, 512))(jxyz))[0]
     uniq = len(np.unique(fps))

@@ -141,6 +141,74 @@ def _fps_pallas_batch(xyz: Array, npoint: int) -> Array:
     return out[:b]
 
 
+def _ffps_kernel(n: int, m: int, bt: int, mat_ref, out_ref, dist_ref):
+    """F-FPS over a precomputed squared-distance matrix, all clouds of the
+    tile advancing together. mat_ref: [bt, n, 8, n/8] (each row pre-shaped to
+    a full-sublane tile so the per-iteration update uses all 8 VPU sublanes);
+    out_ref: [bt, m] int32 in SMEM (scalar stores); dist_ref: [bt, 8, n/8].
+
+    Same contract as the jnp reference (sampling.py:69): pick 0 is index 0,
+    min-dist update reads row `last`, ties resolve to the lowest index — with
+    the linear index of element (s, l) being s * (n/8) + l, i.e. the
+    row-major order of the reshape done by the caller."""
+    cols = n // _SUBLANES
+    linear = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 0) * cols
+        + jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 1)
+    )
+    dist_ref[:] = jnp.full((bt, _SUBLANES, cols), jnp.inf, jnp.float32)
+    for c in range(bt):
+        out_ref[c, 0] = 0
+
+    def body(j, last):
+        nxt = []
+        for c in range(bt):
+            row = mat_ref[c, pl.ds(last[c], 1), :, :][0]  # [8, cols]
+            dist = jnp.minimum(dist_ref[c], row)
+            dist_ref[c] = dist
+            vmax = jnp.max(dist)
+            best = jnp.min(jnp.where(dist == vmax, linear, jnp.int32(n)))
+            out_ref[c, j] = best
+            nxt.append(best)
+        return tuple(nxt)
+
+    jax.lax.fori_loop(1, m, body, (jnp.int32(0),) * bt)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ffps_pallas(dist: Array, npoint: int) -> Array:
+    """F-FPS from a squared-distance matrix, whole loop in VMEM.
+
+    dist: [b, n, n] float32 -> int32 [b, npoint]. Replaces the XLA while-loop
+    lowering of sampling.farthest_point_sample_from_dist (per-iteration row
+    gather + update as separate HLOs, ~2.3 ms/step at flagship shapes; this
+    kernel ~0.4 ms)."""
+    b, n, _ = dist.shape
+    assert n % _SUBLANES == 0, n
+    cols = n // _SUBLANES
+    # single grid step, whole batch resident: b * n * n * 4 bytes of VMEM
+    # (callers gate on <= ~80 MB; flagship is 8 x 1024 x 1024 = 32 MB)
+    mat = dist.astype(jnp.float32).reshape(b, n, _SUBLANES, cols)
+
+    kernel = functools.partial(_ffps_kernel, n, npoint, b)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b, n, _SUBLANES, cols), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((b, npoint), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b, _SUBLANES, cols), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(mat)
+    return out
+
+
 def fps_pallas(xyz: Array, npoint: int) -> Array:
     """xyz: [b, n, 3] float32 -> int32 [b, npoint]. Dispatches between the
     batch-parallel kernel (amortizes loop overhead across clouds) and the

@@ -65,12 +65,23 @@ def _fps_reference(xyz: Array, npoint: int) -> Array:
     return jax.vmap(single)(xyz)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def farthest_point_sample_from_dist(dist: Array, npoint: int) -> Array:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def farthest_point_sample_from_dist(dist: Array, npoint: int,
+                                    use_pallas: bool = True) -> Array:
     """F-FPS from a precomputed squared-distance matrix.
 
     dist: [b, n, n] -> int32 [b, npoint]."""
     dist = jax.lax.stop_gradient(dist)
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and dist.shape[1] % 8 == 0
+        and dist.dtype == jnp.float32
+        and dist.shape[0] * dist.shape[1] * dist.shape[2] * 4 <= 80 * 2**20
+    ):
+        from ssd3d.ops.pallas.fps import ffps_pallas
+
+        return ffps_pallas(dist, npoint)
 
     def single(mat: Array) -> Array:
         n = mat.shape[0]
