@@ -39,7 +39,7 @@ def _pairwise_dist2(queries: Array, points: Array) -> Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def _first_k_selection(valid: Array, nsample: int):
+def _first_k_selection(valid: Array, nsample: int, block: int = 512):
     """Select first-`nsample` true entries per row of `valid` [m, n].
 
     Returns (idx [m, nsample] int32, cnt [m] int32) with the CUDA pad rule:
@@ -48,20 +48,21 @@ def _first_k_selection(valid: Array, nsample: int):
     Implementation: entirely gather/sort-free (both are pathological on TPU —
     a top_k over `n - index` keys lowers to a full 16k stable sort per row,
     ~100 ms per radius scale, and a cumsum binary search needs lane-dim
-    gathers at ~85 ms per step). The mask is viewed as 128-wide blocks packed
-    into 8 x 16-bit words (exactly representable in f32, so one-hot MXU
-    matmuls can move them): block popcounts + their exclusive prefix locate
-    each output slot's block with dense comparisons, the block's PACKED
-    bitmask (8 floats, not 128) is fetched with a one-hot matmul, and the
-    in-block position is a popcount binary search — all elementwise."""
+    gathers at ~85 ms per step). The mask is viewed as `block`-wide blocks
+    packed into block/16 x 16-bit words (exactly representable in f32, so
+    one-hot MXU matmuls can move them): block popcounts + their exclusive
+    prefix locate each output slot's block with dense comparisons, the
+    block's PACKED bitmask (block/16 floats, not `block`) is fetched with a
+    one-hot matmul, and the in-block position is a popcount binary search —
+    all elementwise. `block` trades coarse-level work (~nb per slot) against
+    fine-level work (~block/16 per slot)."""
     m, n = valid.shape
-    BS = 128
     W = 16
-    pad = (-n) % BS
+    pad = (-n) % block
     if pad:
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
-    nb = (n + pad) // BS
-    words = _pack_words(valid.reshape(m, nb, BS // W, W))
+    nb = (n + pad) // block
+    words = _pack_words(valid.reshape(m, nb, block // W, W))
     return _select_from_words(words, nsample, n)
 
 
@@ -76,20 +77,25 @@ def _excl_prefix(x: Array) -> Array:
     """Exclusive prefix sum over the last axis via a strict-upper-triangular
     f32 matmul. jnp.cumsum lowers to a reduce-window whose scanned axis lands
     on the lane dimension (8/128 utilization, ~10 GB/s measured); the matmul
-    form fuses and rides the MXU. Exact in the default (bf16-operand) matmul
-    pass as long as x's values are <= 256 — bf16 represents those integers
-    exactly and accumulation is f32."""
+    form fuses and rides the MXU. Pinned to Precision.HIGHEST because the
+    summand values (block counts up to `block` = 512) exceed bf16's exact
+    integer range (256) — the default single bf16 pass truncates operands."""
     k = x.shape[-1]
     tri = jnp.triu(jnp.ones((k, k), jnp.float32), k=1)
     out = jnp.einsum(
         "...a,ac->...c", x.astype(jnp.float32), tri,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(x.dtype)
 
 
-def _select_from_words(words: Array, nsample: int, n: int):
-    """First-k selection from packed block bitmasks. words: [m, nb, 8].
+def _select_from_words(words: Array, nsample: int, n: int,
+                       blk_cnt: Array | None = None):
+    """First-k selection from packed block bitmasks. words: [m, nb, wpb]
+    (wpb 16-bit words per block, block size = 16*wpb points); blk_cnt
+    [m, nb] optionally precomputed (the ring-words Pallas kernel emits it;
+    otherwise derived from popcounts here).
 
     Exactness on TPU: any matmul whose OPERAND values exceed 256 must run at
     Precision.HIGHEST — the default single bf16 pass truncates the operand
@@ -97,10 +103,16 @@ def _select_from_words(words: Array, nsample: int, n: int):
     near 65535 round to 65536), which silently corrupts the selection. This
     was observed on hardware: 4/4096 queries returned wrong neighbors at
     n=16384 before the HIGHEST pins below."""
-    m, nb, _ = words.shape
-    BS, W = 128, 16
-    pops = jax.lax.population_count(words.astype(jnp.uint32)).astype(jnp.int32)
-    blk_cnt = jnp.sum(pops, axis=-1)  # [m, nb] values <= 128
+    m, nb, wpb = words.shape
+    W = 16
+    BS = wpb * W
+    if blk_cnt is None:
+        pops = jax.lax.population_count(
+            words.astype(jnp.uint32)
+        ).astype(jnp.int32)
+        blk_cnt = jnp.sum(pops, axis=-1)  # [m, nb] values <= BS
+    else:
+        blk_cnt = blk_cnt.astype(jnp.int32)
     prefix = _excl_prefix(blk_cnt)  # exclusive [m, nb]
     slots = jnp.arange(nsample, dtype=jnp.int32)
 
@@ -108,21 +120,21 @@ def _select_from_words(words: Array, nsample: int, n: int):
     # zero count, so overshooting them is harmless)
     le = prefix[:, :, None] <= slots[None, None, :]  # [m, nb, ns]
     blk_of = jnp.sum(le, axis=1, dtype=jnp.int32) - 1  # [m, ns]
+    # prefix is nondecreasing, so the selected (= last le-true) block's
+    # prefix is the masked maximum — one more reduce over the same le
+    # tensor, fused with the blk_of reduce (replaces a batched one-hot
+    # matvec whose operand layouts forced relayout copies)
+    prefix_s = jnp.max(jnp.where(le, prefix[:, :, None], 0), axis=1)
+    offset = slots[None, :] - prefix_s  # rank within block
     onehot = jax.nn.one_hot(blk_of, nb, dtype=jnp.float32)  # [m, ns, nb]
-    prefix_s = jnp.einsum(
-        "msb,mb->ms", onehot, prefix.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # prefix values up to n
-    )
-    offset = slots[None, :] - prefix_s.astype(jnp.int32)  # rank within block
     words_s = jnp.einsum(
         "msb,mbw->msw", onehot, words, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,  # word values up to 65535
-    )  # [m, ns, 8] packed bitmasks of the chosen block
+    )  # [m, ns, wpb] packed bitmasks of the chosen block
     pops_s = jax.lax.population_count(words_s.astype(jnp.uint32)).astype(jnp.int32)
-    exc = _excl_prefix(pops_s)  # exclusive per-word prefix (values <= 16)
+    exc = _excl_prefix(pops_s)  # exclusive per-word prefix (values <= BS)
     w_of = jnp.sum((exc <= offset[..., None]).astype(jnp.int32), axis=-1) - 1
-    w_iota = jnp.arange(BS // W, dtype=jnp.int32)
+    w_iota = jnp.arange(wpb, dtype=jnp.int32)
     sel = w_iota[None, None, :] == w_of[..., None]
     rank = offset - jnp.sum(jnp.where(sel, exc, 0), axis=-1)  # rank in word
     word = jnp.sum(jnp.where(sel, words_s, 0.0), axis=-1).astype(jnp.uint32)
@@ -230,21 +242,22 @@ def ball_query_multi(
 
     n = xyz.shape[1]
     if use_pallas and jax.default_backend() == "tpu" and n % 2048 == 0:
-        from ssd3d.ops.pallas.ring_words import ring_words_pallas
+        from ssd3d.ops.pallas.ring_words import BLOCK, ring_words_pallas
 
         rings = tuple((lo2, hi2, annulus) for lo2, hi2, _, annulus in specs)
         # neighborhood selection is non-differentiable (reference op has no
         # gradient); also required for grad tracing through the Pallas call
-        words = ring_words_pallas(
+        words_list, cnts_list = ring_words_pallas(
             jax.lax.stop_gradient(xyz), jax.lax.stop_gradient(new_xyz), rings
-        )  # [b, R, m, n/16]
-        m = new_xyz.shape[1]
+        )  # per ring: words [b, m, n/16], counts [b, n/BLOCK, m]
+        b, m = new_xyz.shape[:2]
         outs = []
         for k, (_, _, ns, _) in enumerate(specs):
-            wk = words[:, k].reshape(words.shape[0], m, n // 128, 8)
+            wk = words_list[k].reshape(b, m, n // BLOCK, BLOCK // 16)
+            ck = jnp.transpose(cnts_list[k], (0, 2, 1))  # [b, m, nb]
             idx, cnt = jax.vmap(
-                lambda w: _select_from_words(w, ns, n)
-            )(wk)
+                lambda w, c, ns=ns: _select_from_words(w, ns, n, c)
+            )(wk, ck)
             outs.append((idx, cnt))
         return outs
 

@@ -1,18 +1,25 @@
-"""Pallas kernel: fused pairwise-distance + ring-mask bit-packing.
+"""Pallas kernel: fused pairwise-distance + ring-mask bit-packing + counts.
 
 The multi-scale ball query needs, per (query, 16-point group), a packed
-16-bit word of "point j is inside ring k". The XLA formulation materializes
-the [m, n] distance matrix in HBM and re-reads it per ring (~39 ms of the
-3DSSD forward at layer-1 scale). This kernel keeps everything in VMEM: for
-each query tile it streams the points in 512-wide blocks, computes the
-distance block on the VPU, and packs each ring's mask with an MXU matmul
-against the constant bit matrix P[j, w] = 2^(j mod 16) * [j div 16 == w].
+16-bit word of "point j is inside ring k", plus per 256-point block the
+number of in-ring points (the first-k selection's coarse level). The XLA
+formulation materializes the [m, n] distance matrix in HBM and re-reads it
+per ring (~39 ms of the 3DSSD forward at layer-1 scale). This kernel keeps
+everything in VMEM: for each query tile it streams the points in 2048-wide
+blocks, computes the distance block on the VPU, packs each ring's mask with
+an MXU matmul against the constant bit matrix P[j, w] = 2^(j mod 16) *
+[j div 16 == w], and accumulates block counts with a second 0/1 matmul.
 
 Exactness: the mask entries (0/1) and the bit weights (powers of two up to
 2^15) are all exactly representable in bf16, so a single-pass bf16 MXU matmul
-produces the packed words exactly. Distances use direct differences, so the
-query point's self-distance is exactly 0 (the dilated ring's self-inclusion
-rule). Output words feed ssd3d.ops.grouping._select_from_words unchanged.
+produces the packed words exactly; the count matmul's operands are 0/1 and
+accumulate in f32 (counts <= 256, exact). Distances use direct differences,
+so the query point's self-distance is exactly 0 (the dilated ring's
+self-inclusion rule). Outputs feed ssd3d.ops.grouping._select_from_words.
+
+Counts are emitted TRANSPOSED ([b, n/BS, m]) because the per-chunk store
+then lands on the sublane dimension — dynamic lane-dim stores crash the
+terminal's older libtpu, dynamic sublane stores are fine.
 """
 
 from __future__ import annotations
@@ -29,19 +36,31 @@ Array = jax.Array
 _QT = 256  # queries per grid step
 _NB = 2048  # points per inner block (=> 128 words: aligned lane stores)
 _W = 16  # bits per word
+BLOCK = 256  # points per count block (selection's coarse level)
 
 
-def _kernel(n: int, rings: tuple, q_ref, pts_ref, out_ref, pmat_ref):
-    """q_ref: [1, QT, 3]; pts_ref: [1, 3, n]; out_ref: [1, R, QT, n/16];
-    pmat_ref: [NB, NB//W] constant bit matrix (VMEM scratch, filled here)."""
+def _kernel(n: int, rings: tuple, q_ref, pts_ref, *refs):
+    """q_ref: [1, QT, 3]; pts_ref: [1, 3, n]; refs: per ring a words ref
+    [1, QT, n/16], then per ring a counts ref [1, n/BLOCK, QT], then the
+    [NB, NB//W] constant-bit-matrix VMEM scratch (filled here)."""
     nblocks = n // _NB
-    wpb = _NB // _W  # words per block
+    wpb = _NB // _W  # words per inner block
+    bpb = _NB // BLOCK  # count blocks per inner block
+    R = len(rings)
+    words_refs = refs[:R]
+    cnt_refs = refs[R:2 * R]
+    pmat_ref = refs[2 * R]
 
     # constant bit matrix P[j, w] = 2^(j % 16) if j // 16 == w else 0
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (_NB, wpb), 0)
     w_ids = jax.lax.broadcasted_iota(jnp.int32, (_NB, wpb), 1)
     bitval = jnp.exp2((j_ids % _W).astype(jnp.float32))
     pmat_ref[:] = jnp.where(j_ids // _W == w_ids, bitval, 0.0)
+
+    # constant count matrix C[blk, j] = 1 if j // BLOCK == blk else 0
+    cb = jax.lax.broadcasted_iota(jnp.int32, (bpb, _NB), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (bpb, _NB), 1)
+    cmat = (cj // BLOCK == cb).astype(jnp.bfloat16)
 
     qx = q_ref[0, :, 0:1]  # [QT, 1]
     qy = q_ref[0, :, 1:2]
@@ -57,20 +76,28 @@ def _kernel(n: int, rings: tuple, q_ref, pts_ref, out_ref, pmat_ref):
             valid = (d2 >= lo2) & (d2 < hi2)
             if self_incl:
                 valid = valid | (d2 == 0.0)
+            vb = valid.astype(jnp.bfloat16)
             words = jnp.dot(
-                valid.astype(jnp.bfloat16), pmat,
-                preferred_element_type=jnp.float32,
+                vb, pmat, preferred_element_type=jnp.float32
             )  # [QT, wpb] exact
-            out_ref[0, k, :, pl.ds(pl.multiple_of(b * wpb, 128), wpb)] = words
+            words_refs[k][0, :, pl.ds(pl.multiple_of(b * wpb, 128), wpb)] = (
+                words
+            )
+            cnts = jax.lax.dot_general(
+                cmat, vb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bpb, QT] exact (0/1 operands, f32 accumulate)
+            cnt_refs[k][0, pl.ds(b * bpb, bpb), :] = cnts
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple) -> Array:
+def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple):
     """xyz: [b, n, 3]; new_xyz: [b, m, 3]; rings: ((lo2, hi2, self), ...)
-    -> packed words f32 [b, R, m, n/16]."""
+    -> (words per ring: f32 [b, m, n/16], counts per ring: f32 [b, n/BLOCK, m]
+    transposed)."""
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     assert n % _NB == 0, n
@@ -78,12 +105,26 @@ def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple) -> Array:
     q = new_xyz.astype(jnp.float32)
     if pad_m:
         q = jnp.pad(q, ((0, 0), (0, pad_m), (0, 0)))
-    mt = (m + pad_m) // _QT
+    mp = m + pad_m
+    mt = mp // _QT
     pts_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # [b, 3, n]
     R = len(rings)
+    nbt = n // BLOCK
 
     kernel = functools.partial(_kernel, n, tuple(rings))
-    out = pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, mp, n // _W), jnp.float32) for _ in range(R)
+    ] + [jax.ShapeDtypeStruct((b, nbt, mp), jnp.float32) for _ in range(R)]
+    out_specs = [
+        pl.BlockSpec((1, _QT, n // _W), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(R)
+    ] + [
+        pl.BlockSpec((1, nbt, _QT), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM)
+        for _ in range(R)
+    ]
+    outs = pl.pallas_call(
         kernel,
         grid=(b, mt),
         in_specs=[
@@ -92,11 +133,10 @@ def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple) -> Array:
             pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, R, _QT, n // _W), lambda i, j: (i, 0, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, R, m + pad_m, n // _W), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((_NB, _NB // _W), jnp.float32)],
     )(q, pts_t)
-    return out[:, :, :m]
+    words = [w[:, :m] for w in outs[:R]]
+    cnts = [c[:, :, :m] for c in outs[R:]]
+    return words, cnts

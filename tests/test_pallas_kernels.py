@@ -48,20 +48,27 @@ def test_ring_words_kernel_exact(interpret, rng):
     xyz = jnp.asarray(rng.uniform(-3, 3, (2, 2048, 3)).astype(np.float32))
     new_xyz = xyz[:, :256]  # queries are dataset points -> exact self-dist 0
     rings = ((0.0, 0.04, False), (0.04, 0.16, True), (0.16, 0.64, True))
-    words = np.asarray(rw.ring_words_pallas(xyz, new_xyz, rings))
-    assert words.shape == (2, 3, 256, 128)
+    words_list, cnts_list = rw.ring_words_pallas(xyz, new_xyz, rings)
+    assert len(words_list) == 3 and len(cnts_list) == 3
+    nbt = 2048 // rw.BLOCK
     for b in range(2):
         d2 = (
             (np.asarray(new_xyz)[b][:, None] - np.asarray(xyz)[b][None]) ** 2
         ).sum(-1)
         for k, (lo2, hi2, si) in enumerate(rings):
+            words = np.asarray(words_list[k])
+            cnts = np.asarray(cnts_list[k])
+            assert words.shape == (2, 256, 128)
+            assert cnts.shape == (2, nbt, 256)
             valid = (d2 >= lo2) & (d2 < hi2)
             if si:
                 valid |= d2 == 0
             want = np.asarray(
                 _pack_words(jnp.asarray(valid.reshape(256, 16, 8, 16)))
             ).reshape(256, 128)
-            np.testing.assert_array_equal(words[b, k], want)
+            np.testing.assert_array_equal(words[b], want)
+            want_cnt = valid.reshape(256, nbt, rw.BLOCK).sum(-1).T
+            np.testing.assert_array_equal(cnts[b], want_cnt.astype(np.float32))
 
 
 def test_gather_kernel_exact_with_vjp(interpret, rng):
