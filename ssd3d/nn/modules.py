@@ -115,6 +115,19 @@ class PointnetSAModuleMSG(nn.Module):
     axis_name: str | None = None
     compute_dtype: Any = None
 
+    def _use_fused(self, train: bool, packed_src: Array, idx: Array) -> bool:
+        """Fused SA kernel dispatch: inference, plain BatchNorm, TPU, and
+        shapes inside the kernel's VMEM envelope."""
+        from ssd3d.ops.pallas import sa_fused
+
+        return (
+            not train
+            and self.bn
+            and not self.use_gn
+            and jax.default_backend() == "tpu"
+            and sa_fused.supports(packed_src, idx.shape[2], idx.shape[1])
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -183,17 +196,34 @@ class PointnetSAModuleMSG(nn.Module):
         for i, (idx, cnt) in enumerate(queries):
             has_pts = (cnt > 0).astype(jnp.int32)  # [bs, npoint]
             idx = idx * has_pts[..., None]  # empty balls -> gather point 0
-            grouped = group_points(packed_src, idx)
-            grouped_xyz = grouped[..., -3:] - new_xyz[:, :, None, :]
-            grouped = jnp.concatenate([grouped[..., :-3], grouped_xyz], axis=-1)
-            grouped = SharedMLP(
+            mlp = SharedMLP(
                 tuple(self.mlp_list[i]),
                 bn=self.bn,
                 use_gn=self.use_gn,
                 axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                 name=f"mlp{i}",
-            )(grouped, train, bn_momentum)
-            pooled = jnp.max(grouped, axis=2)  # [bs, npoint, c]
+            )
+            if self._use_fused(train, packed_src, idx):
+                # inference: gather + center-subtract + MLP (BN folded) +
+                # max-pool in one Pallas kernel — the grouped [b, m, ns, c]
+                # tensor never exists in HBM
+                from ssd3d.ops.pallas.sa_fused import sa_fused_pallas
+
+                folded = mlp(packed_src, train, bn_momentum, fold=True)
+                pooled = sa_fused_pallas(
+                    jax.lax.stop_gradient(packed_src),
+                    idx,
+                    jax.lax.stop_gradient(new_xyz),
+                    folded,
+                )
+            else:
+                grouped = group_points(packed_src, idx)
+                grouped_xyz = grouped[..., -3:] - new_xyz[:, :, None, :]
+                grouped = jnp.concatenate(
+                    [grouped[..., :-3], grouped_xyz], axis=-1
+                )
+                grouped = mlp(grouped, train, bn_momentum)
+                pooled = jnp.max(grouped, axis=2)  # [bs, npoint, c]
             pooled = pooled * has_pts[..., None].astype(pooled.dtype)
             scale_feats.append(pooled)
 
