@@ -117,13 +117,17 @@ class PointnetSAModuleMSG(nn.Module):
 
     def _use_fused(self, train: bool, packed_src: Array, idx: Array) -> bool:
         """Fused SA kernel dispatch: inference, plain BatchNorm, TPU, and
-        shapes inside the kernel's VMEM envelope."""
+        shapes inside the kernel's VMEM envelope. SSD3D_DISABLE_FUSED_SA=1
+        forces the unfused path (A/B measurement / escape hatch)."""
+        import os
+
         from ssd3d.ops.pallas import sa_fused
 
         return (
             not train
             and self.bn
             and not self.use_gn
+            and not os.environ.get("SSD3D_DISABLE_FUSED_SA")
             and jax.default_backend() == "tpu"
             and sa_fused.supports(packed_src, idx.shape[2], idx.shape[1])
         )
