@@ -14,17 +14,47 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ssd3d.ops.grouping import knn_points
-
 Array = jax.Array
 
 
+@jax.jit
 def three_nn(xyz1: Array, xyz2: Array):
     """3 nearest known points for each unknown point.
 
     xyz1 (unknown): [b, n, 3]; xyz2 (known): [b, m, 3]
-    -> (dist2 [b, n, 3], idx int32 [b, n, 3])."""
-    return knn_points(3, xyz2, xyz1)
+    -> (dist2 [b, n, 3], idx int32 [b, n, 3]).
+
+    k=3 is found by three masked min/argmin passes instead of top_k —
+    lax.top_k lowers to a full per-row sort on TPU. Tie order matches the
+    CUDA scan (tf_interpolate_g.cu:24): equal distances fill slots in index
+    order (argmin takes the first occurrence, the mask advances past it)."""
+
+    def per_cloud(unknown, known):
+        m = known.shape[0]
+        iota = jnp.arange(m, dtype=jnp.int32)
+
+        def one(q_chunk):
+            d2 = jnp.sum(
+                (q_chunk[:, None, :] - known[None, :, :]) ** 2, axis=-1
+            )
+            vals, idxs = [], []
+            work = d2
+            for _ in range(3):
+                i = jnp.argmin(work, axis=-1).astype(jnp.int32)
+                v = jnp.min(work, axis=-1)
+                idxs.append(i)
+                vals.append(v)
+                work = jnp.where(iota[None, :] == i[:, None], jnp.inf, work)
+            return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+        n = unknown.shape[0]
+        chunk = min(1024, n)
+        pad = (-n) % chunk
+        q = jnp.pad(unknown, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        d, i = jax.lax.map(one, q)
+        return d.reshape(-1, 3)[:n], i.reshape(-1, 3)[:n]
+
+    return jax.vmap(per_cloud)(xyz1, xyz2)
 
 
 def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
