@@ -80,7 +80,7 @@ def _kernel(n: int, rings: tuple, q_ref, pts_ref, *refs):
         lt = {}
         for lo2, hi2, self_incl in rings:
             for t in (lo2, hi2):
-                if t not in lt:
+                if t not in lt and t > 0.0:
                     lt[t] = d2 < t
         selfhit = None
         if any(si for _, _, si in rings):
