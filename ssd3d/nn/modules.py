@@ -196,50 +196,78 @@ class PointnetSAModuleMSG(nn.Module):
         # one packed gather per scale instead of separate xyz/feature gathers
         # (TPU row gathers are element-rate-limited; see gather_bench)
         packed_src = jnp.concatenate([features, xyz], axis=-1)
-        scale_feats = []
-        for i, (idx, cnt) in enumerate(queries):
-            has_pts = (cnt > 0).astype(jnp.int32)  # [bs, npoint]
-            idx = idx * has_pts[..., None]  # empty balls -> gather point 0
-            mlp = SharedMLP(
+        mlps = [
+            SharedMLP(
                 tuple(self.mlp_list[i]),
                 bn=self.bn,
                 use_gn=self.use_gn,
                 axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                 name=f"mlp{i}",
             )
-            if self._use_fused(train, packed_src, idx):
-                # inference: gather + center-subtract + MLP (BN folded) +
-                # max-pool in one Pallas kernel — the grouped [b, m, ns, c]
-                # tensor never exists in HBM
-                from ssd3d.ops.pallas.sa_fused import sa_fused_pallas
-
-                folded = mlp(packed_src, train, bn_momentum, fold=True)
-                pooled = sa_fused_pallas(
-                    jax.lax.stop_gradient(packed_src),
-                    idx,
-                    jax.lax.stop_gradient(new_xyz),
-                    folded,
-                )
-            else:
-                grouped = group_points(packed_src, idx)
-                grouped_xyz = grouped[..., -3:] - new_xyz[:, :, None, :]
-                grouped = jnp.concatenate(
-                    [grouped[..., :-3], grouped_xyz], axis=-1
-                )
-                grouped = mlp(grouped, train, bn_momentum)
-                pooled = jnp.max(grouped, axis=2)  # [bs, npoint, c]
-            pooled = pooled * has_pts[..., None].astype(pooled.dtype)
-            scale_feats.append(pooled)
-
-        new_features = jnp.concatenate(scale_feats, axis=-1)
-        if self.aggregate and self.aggregation_channel is not None:
-            new_features = PointConv(
+            for i in range(len(queries))
+        ]
+        aggregating = self.aggregate and self.aggregation_channel is not None
+        agg_conv = (
+            PointConv(
                 self.aggregation_channel,
                 bn=self.bn,
                 use_gn=self.use_gn,
                 axis_name=self.axis_name, compute_dtype=self.compute_dtype,
                 name="aggregation",
-            )(new_features, train, bn_momentum)
+            )
+            if aggregating
+            else None
+        )
+
+        if all(self._use_fused(train, packed_src, idx) for idx, _ in queries):
+            # inference: the WHOLE layer — every scale's gather +
+            # center-subtract + MLP (BN folded) + masked max-pool, plus the
+            # aggregation conv — is one Pallas kernel; grouped tensors
+            # never exist in HBM (ops/pallas/sa_fused.py)
+            from ssd3d.ops.pallas.sa_fused import sa_fused_multi
+
+            idx_list, masks, folded_list = [], [], []
+            for i, (idx, cnt) in enumerate(queries):
+                has_pts = (cnt > 0).astype(jnp.int32)
+                idx_list.append(idx * has_pts[..., None])
+                masks.append(has_pts)
+                folded_list.append(
+                    mlps[i](packed_src, train, bn_momentum, fold=True)
+                )
+            agg_folded = None
+            if aggregating:
+                sum_c = sum(self.mlp_list[i][-1] for i in range(len(queries)))
+                agg_folded = agg_conv(
+                    jnp.zeros((1, sum_c), jnp.float32), train, bn_momentum,
+                    fold=True,
+                )
+            new_features = sa_fused_multi(
+                jax.lax.stop_gradient(packed_src),
+                idx_list,
+                jax.lax.stop_gradient(new_xyz),
+                jnp.stack(masks, axis=-1).astype(jnp.float32),
+                folded_list,
+                agg_folded,
+            )
+            return new_xyz, new_features, fps_idx
+
+        scale_feats = []
+        for i, (idx, cnt) in enumerate(queries):
+            has_pts = (cnt > 0).astype(jnp.int32)  # [bs, npoint]
+            idx = idx * has_pts[..., None]  # empty balls -> gather point 0
+            grouped = group_points(packed_src, idx)
+            grouped_xyz = grouped[..., -3:] - new_xyz[:, :, None, :]
+            grouped = jnp.concatenate(
+                [grouped[..., :-3], grouped_xyz], axis=-1
+            )
+            grouped = mlps[i](grouped, train, bn_momentum)
+            pooled = jnp.max(grouped, axis=2)  # [bs, npoint, c]
+            pooled = pooled * has_pts[..., None].astype(pooled.dtype)
+            scale_feats.append(pooled)
+
+        new_features = jnp.concatenate(scale_feats, axis=-1)
+        if aggregating:
+            new_features = agg_conv(new_features, train, bn_momentum)
         return new_xyz, new_features, fps_idx
 
 

@@ -144,6 +144,184 @@ def supports(src: Array, ns: int, m: int) -> bool:
     )
 
 
+def _kernel_multi(ns_list, tm: int, cf: int, nl_list, has_agg: bool,
+                  *refs):
+    """Whole-SA-layer kernel: every radius scale's gather + MLP + masked
+    max-pool, then the aggregation conv, in one pass over the query tile.
+
+    refs layout: R idx refs (SMEM [TM*ns_k]); src [1, n, cp]; ctr [1, TM, 3];
+    masks [1, TM, R]; per scale per layer (w, b, inv, shift); optionally the
+    aggregation layer's (w, b, inv, shift); output [1, TM, c_out]; gather
+    scratch [max_rows, cp]."""
+    R = len(ns_list)
+    pos = R
+    src_ref = refs[pos]; ctr_ref = refs[pos + 1]; mask_ref = refs[pos + 2]
+    pos += 3
+    layer_refs = []
+    for k in range(R):
+        layer_refs.append(refs[pos:pos + 4 * nl_list[k]])
+        pos += 4 * nl_list[k]
+    agg_refs = None
+    if has_agg:
+        agg_refs = refs[pos:pos + 4]
+        pos += 4
+    out_ref = refs[pos]
+    g_ref = refs[pos + 1]
+
+    ctr = ctr_ref[0]  # [TM, 3]
+    pooled_scales = []
+    for k, ns in enumerate(ns_list):
+        rows = tm * ns
+        idx_ref = refs[k]
+
+        def body(r, carry, idx_ref=idx_ref):
+            gathered = [
+                src_ref[0, pl.ds(idx_ref[r * _U + u], 1), :]
+                for u in range(_U)
+            ]
+            g_ref[pl.ds(r * _U, _U), :] = jnp.concatenate(gathered, axis=0)
+            return carry
+
+        lax.fori_loop(0, rows // _U, body, 0)
+        x = g_ref[pl.ds(0, rows), :]
+        ctr_rows = jnp.broadcast_to(
+            ctr[:, None, :], (tm, ns, 3)
+        ).reshape(rows, 3)
+        x = jnp.concatenate([x[:, :cf], x[:, cf:] - ctr_rows], axis=-1)
+        for i in range(nl_list[k]):
+            w = layer_refs[k][4 * i][:]
+            b = layer_refs[k][4 * i + 1][0]
+            inv = layer_refs[k][4 * i + 2][0]
+            shift = layer_refs[k][4 * i + 3][0]
+            y = jnp.dot(
+                x.astype(jnp.bfloat16), w,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16) + b[None, :]
+            x = jnp.maximum(
+                y.astype(jnp.float32) * inv[None, :] + shift[None, :], 0.0
+            )
+        ck = x.shape[-1]
+        pooled = jnp.max(x.reshape(tm, ns, ck), axis=1)
+        pooled_scales.append(pooled * mask_ref[0, :, k:k + 1])
+
+    feat = jnp.concatenate(pooled_scales, axis=-1)
+    if has_agg:
+        w = agg_refs[0][:]
+        b = agg_refs[1][0]
+        inv = agg_refs[2][0]
+        shift = agg_refs[3][0]
+        y = jnp.dot(
+            feat.astype(jnp.bfloat16), w,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) + b[None, :]
+        feat = jnp.maximum(
+            y.astype(jnp.float32) * inv[None, :] + shift[None, :], 0.0
+        )
+    out_ref[0] = feat
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _sa_multi_raw(src, idx_list, centers, masks, scale_params, dims):
+    ns_list, tm, cf, nl_list, has_agg = dims
+    b, n, cp = src.shape
+    m = centers.shape[1]
+    mt = m // tm
+    R = len(ns_list)
+
+    ins = []
+    specs = []
+    for k, idx in enumerate(idx_list):
+        ins.append(idx.astype(jnp.int32).reshape(b * mt * tm * ns_list[k]))
+        specs.append(
+            pl.BlockSpec((tm * ns_list[k],),
+                         lambda i, j, mt=mt: (i * mt + j,),
+                         memory_space=pltpu.SMEM)
+        )
+    ins += [src.astype(jnp.float32), centers.astype(jnp.float32),
+            masks.astype(jnp.float32)]
+    specs += [
+        pl.BlockSpec((1, n, cp), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm, R), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    c_out = None
+    for (w, bb, inv, shift) in scale_params:
+        ins += [
+            w.astype(jnp.bfloat16),
+            bb.astype(jnp.bfloat16).reshape(1, -1),
+            inv.astype(jnp.float32).reshape(1, -1),
+            shift.astype(jnp.float32).reshape(1, -1),
+        ]
+        specs += [
+            pl.BlockSpec(w.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        c_out = w.shape[1]
+    if not has_agg:
+        # output channels = concat of per-scale last-layer widths
+        c_out = 0
+        off = 0
+        for k in range(R):
+            off += nl_list[k]
+            c_out += scale_params[off - 1][0].shape[1]
+
+    max_rows = tm * max(ns_list)
+    kernel = functools.partial(
+        _kernel_multi, tuple(ns_list), tm, cf, tuple(nl_list), has_agg
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, mt),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, tm, c_out), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, c_out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((max_rows, cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(*ins)
+    return out
+
+
+def sa_fused_multi(src: Array, idx_list, centers: Array, masks: Array,
+                   layers_list, agg_layer=None) -> Array:
+    """All radius scales of one SA layer + the aggregation conv in a single
+    kernel. src: [b, n, cf+3]; idx_list: per scale int32 [b, m, ns_k]
+    (pre-masked); centers: [b, m, 3]; masks: [b, m, R] f32 (has-points per
+    scale, applied to each pooled scale BEFORE aggregation, matching the
+    unfused order); layers_list: per scale a list of (kernel, bias, inv,
+    shift); agg_layer: optional (kernel, bias, inv, shift) for the
+    aggregation PointConv. Returns [b, m, c_out] f32."""
+    b, m, _ = idx_list[0].shape
+    cf = src.shape[-1] - 3
+    ns_list = [idx.shape[2] for idx in idx_list]
+    tm = max(8, min(m, 4096 // max(ns_list)))
+    while m % tm:
+        tm //= 2
+    assert tm >= 8 and all((tm * ns) % _U == 0 for ns in ns_list)
+    scale_params = []
+    nl_list = []
+    for layers in layers_list:
+        nl_list.append(len(layers))
+        scale_params += list(layers)
+    if agg_layer is not None:
+        scale_params.append(agg_layer)
+    return _sa_multi_raw(
+        src, tuple(idx_list), centers, masks, tuple(scale_params),
+        (tuple(ns_list), tm, cf, tuple(nl_list), agg_layer is not None),
+    )
+
+
 def sa_fused_pallas(src: Array, idx: Array, centers: Array, layers) -> Array:
     """src: [b, n, cf+3] f32, rows = (features | xyz); idx: int32 [b, m, ns]
     (pre-masked: empty balls point at row 0); centers: [b, m, 3];
