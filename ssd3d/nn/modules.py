@@ -117,8 +117,10 @@ class PointnetSAModuleMSG(nn.Module):
 
     def _use_fused(self, train: bool, packed_src: Array, idx: Array) -> bool:
         """Fused SA kernel dispatch: inference, plain BatchNorm, TPU, and
-        shapes inside the kernel's VMEM envelope. SSD3D_DISABLE_FUSED_SA=1
-        forces the unfused path (A/B measurement / escape hatch)."""
+        shapes inside the kernel's VMEM envelope. Currently opt-in via
+        SSD3D_ENABLE_FUSED_SA=1: the kernel is CPU-validated (interpreter
+        parity + model-level integration test) but the serving libtpu has
+        not seen it yet — flip the default once chip-validated."""
         import os
 
         from ssd3d.ops.pallas import sa_fused
@@ -127,7 +129,7 @@ class PointnetSAModuleMSG(nn.Module):
             not train
             and self.bn
             and not self.use_gn
-            and not os.environ.get("SSD3D_DISABLE_FUSED_SA")
+            and bool(os.environ.get("SSD3D_ENABLE_FUSED_SA"))
             and jax.default_backend() == "tpu"
             and sa_fused.supports(packed_src, idx.shape[2], idx.shape[1])
         )

@@ -51,19 +51,16 @@ def _kernel(n: int, rings: tuple, q_ref, pts_ref, *refs):
     cnt_refs = refs[R:2 * R]
     pmat_ref = refs[2 * R]
 
-    # constant bit-and-count matrix: the first wpb columns pack the 16-bit
-    # words, P[j, w] = 2^(j % 16) * [j // 16 == w]; the trailing bpb columns
-    # count the 256-point blocks, P[j, wpb + c] = [j // BLOCK == c] — one
-    # MXU pass yields words and counts together (a separate NT dot_general
-    # for the counts forced a VPU transpose of the mask, ~1 ms/step)
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (_NB, wpb + bpb), 0)
-    w_ids = jax.lax.broadcasted_iota(jnp.int32, (_NB, wpb + bpb), 1)
+    # constant bit matrix P[j, w] = 2^(j % 16) if j // 16 == w else 0
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (_NB, wpb), 0)
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (_NB, wpb), 1)
     bitval = jnp.exp2((j_ids % _W).astype(jnp.float32))
-    pmat_ref[:] = jnp.where(
-        w_ids < wpb,
-        jnp.where(j_ids // _W == w_ids, bitval, 0.0),
-        jnp.where(j_ids // BLOCK == w_ids - wpb, 1.0, 0.0),
-    )
+    pmat_ref[:] = jnp.where(j_ids // _W == w_ids, bitval, 0.0)
+
+    # constant count matrix C[blk, j] = 1 if j // BLOCK == blk else 0
+    cb = jax.lax.broadcasted_iota(jnp.int32, (bpb, _NB), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (bpb, _NB), 1)
+    cmat = (cj // BLOCK == cb).astype(jnp.bfloat16)
 
     qx = q_ref[0, :, 0:1]  # [QT, 1]
     qy = q_ref[0, :, 1:2]
@@ -90,13 +87,17 @@ def _kernel(n: int, rings: tuple, q_ref, pts_ref, *refs):
             if self_incl:
                 valid = valid | selfhit
             vb = valid.astype(jnp.bfloat16)
-            packed = jnp.dot(
+            words = jnp.dot(
                 vb, pmat, preferred_element_type=jnp.float32
-            )  # [QT, wpb + bpb] exact (bit weights and 0/1 in bf16)
+            )  # [QT, wpb] exact
             words_refs[k][0, :, pl.ds(pl.multiple_of(b * wpb, 128), wpb)] = (
-                packed[:, :wpb]
+                words
             )
-            cnt_refs[k][0, pl.ds(b * bpb, bpb), :] = packed[:, wpb:].T
+            cnts = jax.lax.dot_general(
+                cmat, vb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bpb, QT] exact (0/1 operands, f32 accumulate)
+            cnt_refs[k][0, pl.ds(b * bpb, bpb), :] = cnts
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
@@ -144,9 +145,7 @@ def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((_NB, _NB // _W + _NB // BLOCK), jnp.float32)
-        ],
+        scratch_shapes=[pltpu.VMEM((_NB, _NB // _W), jnp.float32)],
     )(q, pts_t)
     words = [w[:, :m] for w in outs[:R]]
     cnts = [c[:, :, :m] for c in outs[R:]]
