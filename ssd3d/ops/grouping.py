@@ -74,21 +74,20 @@ def _pack_words(valid4d: Array) -> Array:
 
 
 def _excl_prefix(x: Array) -> Array:
-    """Exclusive prefix sum over the last axis via Hillis-Steele log-shift
-    adds (pad + static slice, all fused on the VPU). jnp.cumsum lowers to a
-    reduce-window whose scanned axis lands on the lane dimension (8/128
-    utilization, ~10 GB/s measured); a triangular-matmul form rides the MXU
-    but its batched-dot operand layouts force relayout copies around every
-    call. The prefix axes here are short (<= 64), so log2(k) fused
-    elementwise passes win. Exact: integer adds, values far below 2^24."""
+    """Exclusive prefix sum over the last axis via a strict-upper-triangular
+    f32 matmul. jnp.cumsum lowers to a reduce-window whose scanned axis lands
+    on the lane dimension (8/128 utilization, ~10 GB/s measured); the matmul
+    form fuses and rides the MXU. Pinned to Precision.HIGHEST because the
+    summand values (block counts up to `block` = 512) exceed bf16's exact
+    integer range (256) — the default single bf16 pass truncates operands."""
     k = x.shape[-1]
-    inc = x
-    pad_cfg = [(0, 0)] * (x.ndim - 1)
-    sh = 1
-    while sh < k:
-        inc = inc + jnp.pad(inc, pad_cfg + [(sh, 0)])[..., :k]
-        sh *= 2
-    return inc - x
+    tri = jnp.triu(jnp.ones((k, k), jnp.float32), k=1)
+    out = jnp.einsum(
+        "...a,ac->...c", x.astype(jnp.float32), tri,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(x.dtype)
 
 
 def _select_from_words(words: Array, nsample: int, n: int,

@@ -38,27 +38,12 @@ def nms_bev(
     iou = aabb_iou(boxes_sorted, boxes_sorted)  # [k, k]
     suppress = iou > iou_threshold
 
-    # Greedy keep is the unique solution of
-    #   keep[i] = not any(j < i: keep[j] and suppress[j, i]);
-    # Jacobi iteration from all-alive reaches it in suppression-chain-depth
-    # rounds (rows with depth <= r are final after round r): a handful of
-    # dense [k, k] passes instead of k sequential [k] steps.
-    lower = suppress & (
-        jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
-    )  # lower[j, i]: higher-scored j can kill i
+    def body(i, keep):
+        alive = keep[i]
+        kill = suppress[i] & (jnp.arange(k) > i) & alive
+        return keep & ~kill
 
-    def cond(state):
-        _, changed = state
-        return changed
-
-    def body(state):
-        keep, _ = state
-        new = ~jnp.any(lower & keep[:, None], axis=0)
-        return new, jnp.any(new != keep)
-
-    keep, _ = jax.lax.while_loop(
-        cond, body, (jnp.ones((k,), bool), jnp.array(True))
-    )
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), bool))
 
     # first max_output kept entries, in score order
     iota = jnp.arange(k, dtype=jnp.int32)

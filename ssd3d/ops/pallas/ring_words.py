@@ -72,20 +72,10 @@ def _kernel(n: int, rings: tuple, q_ref, pts_ref, *refs):
         pz = pts_ref[0, 2:3, pl.ds(b * _NB, _NB)]
         d2 = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2  # [QT, NB]
         pmat = pmat_ref[:].astype(jnp.bfloat16)
-        # each distinct threshold compared once (dilated rings are nested
-        # annuli sharing bounds; plain multi-scale shares lo = 0)
-        lt = {}
-        for lo2, hi2, self_incl in rings:
-            for t in (lo2, hi2):
-                if t not in lt and t > 0.0:
-                    lt[t] = d2 < t
-        selfhit = None
-        if any(si for _, _, si in rings):
-            selfhit = d2 == 0.0
         for k, (lo2, hi2, self_incl) in enumerate(rings):
-            valid = lt[hi2] if lo2 == 0.0 else lt[hi2] & (~lt[lo2])
+            valid = (d2 >= lo2) & (d2 < hi2)
             if self_incl:
-                valid = valid | selfhit
+                valid = valid | (d2 == 0.0)
             vb = valid.astype(jnp.bfloat16)
             words = jnp.dot(
                 vb, pmat, preferred_element_type=jnp.float32
