@@ -311,7 +311,6 @@ class KittiLoader:
             p.start()
 
         stream = self._index_stream(batch_size, epochs, shuffle)
-        exhausted = threading.Event()
 
         def feeder():
             while True:
@@ -324,7 +323,6 @@ class KittiLoader:
                 if len(idxs) < batch_size:
                     for _ in procs:
                         task_q.put(None)
-                    exhausted.set()
                     return
                 task_q.put(idxs)
 
@@ -337,13 +335,17 @@ class KittiLoader:
                     item = out_q.get(timeout=5.0)
                 except queue.Empty:
                     # a worker that died without reporting (segfault, OOM
-                    # kill) must not hang the trainer
-                    dead = [p for p in procs if not p.is_alive()
-                            and p.exitcode not in (0, None)]
-                    if dead:
+                    # kill, or a clean os._exit(0) in a dependency) must not
+                    # hang the trainer: the queue has been empty for 5 s, so
+                    # every delivered sentinel is accounted for in
+                    # `finished`; more dead workers than sentinels means a
+                    # worker exited without reporting.
+                    n_dead = sum(not p.is_alive() for p in procs)
+                    if n_dead > finished:
+                        codes = [p.exitcode for p in procs if not p.is_alive()]
                         raise RuntimeError(
-                            "loader worker died with exit code(s) "
-                            f"{[p.exitcode for p in dead]}")
+                            "loader worker died without delivering its "
+                            f"sentinel; exit code(s) {codes}")
                     continue
                 if item is None:
                     finished += 1

@@ -129,6 +129,9 @@ class PointnetSAModuleMSG(nn.Module):
             not train
             and self.bn
             and not self.use_gn
+            # the kernel's MXU dots are bf16; a f32-eval model (compute_dtype
+            # None) must not silently change numerics when the flag is set
+            and self.compute_dtype == jnp.bfloat16
             and bool(os.environ.get("SSD3D_ENABLE_FUSED_SA"))
             and jax.default_backend() == "tpu"
             and sa_fused.supports(packed_src, idx.shape[2], idx.shape[1])

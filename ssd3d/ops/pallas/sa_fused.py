@@ -130,9 +130,20 @@ def _sa_fused_raw(src: Array, idx: Array, centers: Array, layers, dims):
     return out
 
 
+def _pick_tm(m: int, ns_max: int) -> int:
+    """Query-tile size: the largest power-of-two divisor of m whose gathered
+    row count tm*ns_max stays within the ~4096-row VMEM scratch budget."""
+    tm = m & -m  # largest power-of-two divisor of m
+    while tm * ns_max > 4096 and tm > 1:
+        tm //= 2
+    return tm
+
+
 def supports(src: Array, ns: int, m: int) -> bool:
-    """Envelope: f32 source cloud VMEM-resident (lane-padded), row count per
-    tile a multiple of the unroll, query count tileable."""
+    """Envelope: f32 source cloud VMEM-resident (lane-padded), a valid
+    power-of-two query tile exists (>= 8 sublanes even at the smallest
+    fallback tile), and the unrolled [_U, c] stores stay aligned for any
+    tile the multi-scale variant may pick (tm >= 8 and ns even)."""
     b, n, cp = src.shape
     lanes = -(-cp // 128) * 128
     return (
@@ -140,7 +151,8 @@ def supports(src: Array, ns: int, m: int) -> bool:
         and n % 8 == 0
         and n * lanes * 4 <= 12 * 1024 * 1024
         and m % 8 == 0
-        and (m * ns) % _U == 0
+        and ns % 2 == 0
+        and _pick_tm(m, ns) >= 8
     )
 
 
@@ -305,10 +317,12 @@ def sa_fused_multi(src: Array, idx_list, centers: Array, masks: Array,
     b, m, _ = idx_list[0].shape
     cf = src.shape[-1] - 3
     ns_list = [idx.shape[2] for idx in idx_list]
-    tm = max(8, min(m, 4096 // max(ns_list)))
-    while m % tm:
-        tm //= 2
-    assert tm >= 8 and all((tm * ns) % _U == 0 for ns in ns_list)
+    tm = _pick_tm(m, max(ns_list))
+    if tm < 8 or any((tm * ns) % _U for ns in ns_list):
+        raise ValueError(
+            f"unsupported SA-multi shape m={m} ns={ns_list} (tm={tm}); "
+            f"gate the call with supports() per scale"
+        )
     scale_params = []
     nl_list = []
     for layers in layers_list:
@@ -332,10 +346,12 @@ def sa_fused_pallas(src: Array, idx: Array, centers: Array, layers) -> Array:
     empty balls, as the unfused path does)."""
     b, m, ns = idx.shape
     cf = src.shape[-1] - 3
-    tm = max(8, min(m, 4096 // ns))
-    while m % tm:
-        tm //= 2
-    assert tm >= 8 and (tm * ns) % _U == 0, (m, ns, tm)
+    tm = _pick_tm(m, ns)
+    if tm < 8 or (tm * ns) % _U:
+        raise ValueError(
+            f"unsupported SA shape m={m} ns={ns} (tm={tm}); "
+            f"gate the call with supports()"
+        )
     return _sa_fused_raw(
         src, idx, centers, tuple(layers), (ns, tm, cf, len(layers))
     )
