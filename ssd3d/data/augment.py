@@ -269,19 +269,27 @@ def global_scale(rng: np.random.Generator, points, boxes, scale_range):
     return points, boxes
 
 
-def drop_empty_boxes(boxes, classes, points, sem_labels, sem_dists,
-                     enlarge_range=(0.5, 2.0, 0.5)):
-    """Remove GT boxes without interior foreground points and mark stray
-    points inside enlarged kept boxes (filter_points_boxes_3d semantics:
-    keep boxes that contain at least one sem-positive point)."""
+def filter_stray_points(boxes, points, sem_labels, sem_dists,
+                        enlarge_range=(0.5, 2.0, 0.5)):
+    """Drop sem-negative points that fall inside any ENLARGED GT box; keep
+    every sem-positive point. Augmentation moves boxes, so background points
+    can end up inside an object footprint — the reference removes them so
+    the interior of each (enlarged) box holds only that object's points.
+    Boxes are never dropped. Point order matches the reference exactly
+    (positives first, then surviving negatives) because the subsequent
+    random point sampling consumes this order
+    (reference: lib/utils/voxelnet_aug.py:345 filter_points_boxes_3d,
+    called from lib/builder/data_augmentor.py:99)."""
     if len(boxes) == 0:
-        return boxes, classes, points, sem_labels, sem_dists
+        return boxes, points, sem_labels, sem_dists
     enlarged = boxes.copy()
-    enlarged[:, 3:6] += np.asarray(enlarge_range)
-    pos = sem_labels > 0
-    inside = points_in_boxes_np(points[pos], boxes)  # strict boxes
-    keep = inside.any(axis=0)
-    return boxes[keep], classes[keep], points, sem_labels, sem_dists
+    enlarged[:, 3:6] += np.asarray(enlarge_range, boxes.dtype)
+    pos_index = np.where(sem_labels >= 1)[0]
+    neg_index = np.where(sem_labels == 0)[0]
+    inside = points_in_boxes_np(points[neg_index], enlarged)  # [n_neg, gt]
+    neg_kept = neg_index[~inside.any(axis=1)]
+    order = np.concatenate([pos_index, neg_kept])
+    return boxes, points[order], sem_labels[order], sem_dists[order]
 
 
 class Augmentor:
@@ -325,7 +333,7 @@ class Augmentor:
         if choice[2] <= self.probs[2]:
             points, boxes = global_scale(rng, points, boxes, self.scale_range)
 
-        boxes, classes, points, sem_labels, sem_dists = drop_empty_boxes(
-            boxes, classes, points, sem_labels, sem_dists
+        boxes, points, sem_labels, sem_dists = filter_stray_points(
+            boxes, points, sem_labels, sem_dists
         )
         return points, sem_labels, sem_dists, boxes, classes

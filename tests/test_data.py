@@ -212,6 +212,44 @@ def test_per_object_noise_no_collisions(rng):
     assert inside.any(1).mean() > 0.8
 
 
+def test_filter_stray_points_matches_reference(rng):
+    """filter_points_boxes_3d semantics (voxelnet_aug.py:345): drop
+    sem-NEGATIVE points inside any enlarged GT box, keep every positive,
+    output ordered positives-then-surviving-negatives; boxes untouched."""
+    boxes = random_boxes(rng, 3)
+    n = 200
+    pts = rng.uniform(-25, 25, (n, 3)).astype(np.float32)
+    # plant some points inside box 0 / near boxes so the enlargement matters
+    pts[:30] = boxes[0, :3] + rng.uniform(-0.4, 0.4, (30, 3))
+    pts[:30, 1] = boxes[0, 1] - rng.uniform(0, boxes[0, 4], 30)
+    pts[30:50] = boxes[1, :3] + rng.uniform(-1.2, 1.2, (20, 3))
+    pts = np.concatenate([pts, np.ones((n, 1), np.float32)], 1)
+    strict = aug.points_in_boxes_np(pts, boxes)
+    sem = strict.any(1).astype(np.int32) * (strict.argmax(1) + 1)
+    dists = rng.uniform(0, 1, n).astype(np.float32)
+
+    out_boxes, out_pts, out_sem, out_dists = aug.filter_stray_points(
+        boxes, pts, sem, dists, enlarge_range=(0.5, 2.0, 0.5)
+    )
+    np.testing.assert_array_equal(out_boxes, boxes)
+
+    # independent brute-force oracle
+    enl = boxes.copy()
+    enl[:, 3:6] += np.array([0.5, 2.0, 0.5])
+    pos_index = np.where(sem >= 1)[0]
+    neg_index = np.where(sem == 0)[0]
+    neg_inside = aug.points_in_boxes_np(pts[neg_index], enl).any(1)
+    order = np.concatenate([pos_index, neg_index[~neg_inside]])
+    np.testing.assert_array_equal(out_pts, pts[order])
+    np.testing.assert_array_equal(out_sem, sem[order])
+    np.testing.assert_array_equal(out_dists, dists[order])
+    # the scene must exercise the filter (some negatives dropped, some kept)
+    assert 0 < neg_inside.sum() < len(neg_index)
+    # every kept negative is outside all enlarged boxes; positives all kept
+    assert not aug.points_in_boxes_np(out_pts[out_sem == 0], enl).any()
+    assert (out_sem >= 1).sum() == len(pos_index)
+
+
 def test_mixup_place_snaps_to_plane(rng):
     plane = np.array([0.0, -1.0, 0.0, 1.65])
     scene_boxes = np.array([[0, 1.5, 10, 4, 1.6, 1.7, 0.0]], np.float32)

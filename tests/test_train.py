@@ -88,6 +88,106 @@ def test_iou_assign_runs(rng):
     assert np.asarray(out["pmask"]).sum() + np.asarray(out["nmask"]).sum() <= 2
 
 
+def _iou_assign_oracle(points, anchors, gt_boxes, gt_labels, iou_matrix,
+                       pos_iou, neg_iou, sample_range):
+    """Numpy oracle for IoU assignment, minibatch -1 — a direct port of the
+    reference host-side semantics (np_functions/gt_sampler.py:65-165
+    iou_assign_targets_anchors_np): filter valid GT, point-membership argmax
+    assignment, one-hot IoU selection, label-mismatch entries forced to -1
+    ("ignored"), pos = IoU>=pos_iou within sample range, neg = 0.05<=IoU<neg_iou.
+    iou_matrix: [pts, cls, gt] (precomputed, matching the reference's
+    externally-supplied calc_iou matrix)."""
+    pts_num, cls_num = anchors.shape[:2]
+    filter_idx = np.where(np.any(gt_boxes != 0, axis=-1))[0]
+    gt_l = gt_labels[filter_idx]
+    gt_b = gt_boxes[filter_idx]
+    iou = iou_matrix[:, :, filter_idx]
+
+    inside = np.asarray(
+        points_in_boxes(jnp.asarray(points), jnp.asarray(gt_b))
+    )  # [pts, gt_valid]
+    sampled = np.argmax(inside, axis=-1)
+    assigned_label = gt_l[sampled] - 1
+    assigned_boxes = gt_b[sampled]
+    dist = np.linalg.norm(
+        anchors[:, :, :3] - assigned_boxes[:, None, :3], axis=-1
+    )
+    assigned_idx = filter_idx[sampled]
+
+    iou_sel = np.take_along_axis(iou, sampled[:, None, None], axis=-1)[..., 0]
+    if cls_num > 1:
+        label_mask = (
+            np.arange(cls_num)[None, :] == assigned_label[:, None]
+        ).astype(np.float32)
+    else:
+        label_mask = np.ones((pts_num, cls_num), np.float32)
+    iou_sel = iou_sel * label_mask + (1.0 - label_mask) * -1.0
+    pmask = ((iou_sel >= pos_iou) & (dist <= sample_range)).astype(np.float32)
+    nmask = ((iou_sel < neg_iou) & (iou_sel >= 0.05)).astype(np.float32)
+    return assigned_idx, pmask, nmask
+
+
+@pytest.mark.parametrize("sample_type,pos_iou,neg_iou",
+                         [("BEV", 0.55, 0.45), ("3D", 0.4, 0.3)])
+def test_iou_assign_matches_oracle(rng, sample_type, pos_iou, neg_iou):
+    """The IoU-assignment mask algebra (label masking, the -1 ignored
+    sentinel, the >=0.05 negative gate, distance gating) against the
+    reference numpy semantics on a randomized scene."""
+    from ssd3d.core.box_coders import AnchorGenerator
+    from ssd3d.core.iou import boxes_iou_bev_3d
+
+    gt = random_boxes(rng, 6)
+    # size GTs near the class mean sizes so mean-size anchors genuinely
+    # overlap them (labels: 1=Car, 2=Pedestrian)
+    gt[0, 3:6] = gt[2, 3:6] = np.array([3.9, 1.55, 1.6]) * (
+        1 + rng.uniform(-0.1, 0.1, 3)
+    )
+    gt[1, 3:6] = gt[3, 3:6] = np.array([0.85, 1.76, 0.66]) * (
+        1 + rng.uniform(-0.1, 0.1, 3)
+    )
+    gt[:4, 6] = rng.uniform(-0.2, 0.2, 4)  # near-axis-aligned vs ry=0 anchors
+    gt[4:] = 0  # padding rows
+    labels = np.array([1, 2, 1, 2, 0, 0], np.int32)
+    # points: some at GT centers (inside), some near misses (anchor overlaps
+    # but point outside -> exercises the point-membership-vs-IoU split),
+    # some far background
+    pts = np.concatenate([
+        gt[:4, :3] + np.array([0, -0.3, 0], np.float32),
+        gt[:4, :3] + np.array([2.0, -0.3, 0.5], np.float32),
+        rng.uniform(-40, 40, (24, 3)).astype(np.float32),
+    ])
+    gen = AnchorGenerator("KITTI", ("Car", "Pedestrian"), "Dist-Anchor")
+    anchors = np.asarray(gen(jnp.asarray(pts)[None]))[0]  # [pts, 2, 7]
+    pts_num, cls_num = anchors.shape[:2]
+
+    iou_bev, iou_3d = boxes_iou_bev_3d(
+        jnp.asarray(anchors.reshape(-1, 7)), jnp.asarray(gt)
+    )
+    iou_full = np.asarray(iou_bev if sample_type == "BEV" else iou_3d)
+    valid = np.any(gt != 0, axis=-1)
+    iou_full = (iou_full * valid[None, :]).reshape(pts_num, cls_num, -1)
+
+    cfg = AssignerConfig(
+        method="IoU", iou_sample_type=sample_type, minibatch_size=-1,
+        positive_ratio=0.5, pos_iou=pos_iou, neg_iou=neg_iou,
+        effective_sample_range=100.0,
+    )
+    out = assign_targets(
+        cfg, jax.random.PRNGKey(0), jnp.asarray(pts)[None],
+        jnp.asarray(anchors)[None], jnp.asarray(gt)[None],
+        jnp.asarray(labels)[None],
+    )
+    ref_idx, ref_pmask, ref_nmask = _iou_assign_oracle(
+        pts, anchors, gt, labels, iou_full, pos_iou, neg_iou, 100.0
+    )
+    np.testing.assert_array_equal(np.asarray(out["assigned_idx"])[0], ref_idx)
+    np.testing.assert_array_equal(np.asarray(out["pmask"])[0], ref_pmask)
+    np.testing.assert_array_equal(np.asarray(out["nmask"])[0], ref_nmask)
+    # the scene must actually exercise both mask polarities and both classes
+    assert ref_pmask.sum() > 0 and ref_nmask.sum() > 0
+    assert ref_pmask[:, 0].sum() > 0 and ref_pmask[:, 1].sum() > 0
+
+
 def test_minibatch_sampling_counts(rng):
     gt = random_boxes(rng, 2)
     labels = np.ones(2, np.int32)
