@@ -191,6 +191,11 @@ class KittiLoader:
             "gt_boxes": gt,
             "gt_labels": labels,
             "calib_P2": data["calib_P2"].astype(np.float32),
+            "image_size": (
+                data["image_size"].astype(np.int32)
+                if "image_size" in data
+                else np.array([375, 1242], np.int32)
+            ),
             "name": int(name),
         }
         out.update(extras)

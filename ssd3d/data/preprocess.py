@@ -54,7 +54,11 @@ def preprocess_sample(scene: KittiScene, idx: int, cls_list, extents,
     pts, intensity = pts[keep], intensity[keep]
 
     cls2idx = {c: i + 1 for i, c in enumerate(cls_list)}
-    sample = {"name": idx, "calib_P2": calib.P}
+    sample = {
+        "name": idx,
+        "calib_P2": calib.P,
+        "image_size": np.asarray(scene.image_size(idx), np.int32),
+    }
 
     if with_gt:
         objs = [o for o in scene.labels(idx) if o.type in cls_list]

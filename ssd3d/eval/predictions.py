@@ -101,10 +101,19 @@ def save_kitti_predictions(path: str, boxes_3d, scores, classes, cls_list,
 
 def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                            cls_thresh=0.3, save_dir=None, log=print,
-                           limit=None):
+                           limit=None, use_true_image_size=False):
     """Run `infer_fn(variables, points) -> det dict` over a (val) split:
     per-scan detections; optionally dumps KITTI txts.
-    Returns (det_per_image, gt_per_image, names)."""
+    Returns (det_per_image, gt_per_image, names).
+
+    2D-clip extent: the reference clips projected detection boxes to the
+    hard-coded (375, 1242) default for EVERY scan (anchors_util.py:54
+    default img_shape, called without the argument from
+    kitti_dataloader.py:354 evaluate_map and :479 save_predictions), even
+    though KITTI image sizes vary per scan — and the evaluator's
+    min-height difficulty gate reads the clipped height. The default here
+    keeps that parity; `use_true_image_size=True` clips to each scan's
+    real PNG size instead (threaded from the preprocessed samples)."""
     import jax
     import jax.numpy as jnp
 
@@ -121,9 +130,12 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
         classes = det["classes"][keep]
         name = int(batch["names"][0])
         P2 = batch["calib_P2"][0]
+        img_shape = (375, 1242)
+        if use_true_image_size and "image_size" in batch:
+            img_shape = tuple(int(v) for v in batch["image_size"][0])
         det_per_image.append(
             detections_to_eval_objects(
-                boxes, scores, classes, list(cls_list), P2
+                boxes, scores, classes, list(cls_list), P2, img_shape
             )
         )
         gt_per_image.append(labels_to_eval_objects(scene.labels(name)))
@@ -132,7 +144,7 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
             os.makedirs(save_dir, exist_ok=True)
             save_kitti_predictions(
                 os.path.join(save_dir, f"{name:06d}.txt"),
-                boxes, scores, classes, list(cls_list), P2,
+                boxes, scores, classes, list(cls_list), P2, img_shape,
             )
         count += 1
         if count % 200 == 0:

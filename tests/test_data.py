@@ -57,7 +57,9 @@ def mini_kitti(tmp_path_factory):
     n_scans = 4
     for i in range(n_scans):
         (base / "calib" / f"{i:06d}.txt").write_text(CALIB_TXT)
-        _write_png(str(base / "image_2" / f"{i:06d}.png"), 375, 1242)
+        # KITTI image sizes vary per scan; give scan 1 a different one
+        h_px, w_px = (370, 1224) if i == 1 else (375, 1242)
+        _write_png(str(base / "image_2" / f"{i:06d}.png"), h_px, w_px)
         (base / "planes" / f"{i:06d}.txt").write_text(
             "# Plane\nWidth 4\nHeight 1\n0 -1 0 1.65\n"
         )
@@ -130,6 +132,10 @@ def test_run_preprocess_and_loader(mini_kitti, tmp_path):
     assert batch["points"].shape == (2, 2048, 4)
     assert batch["gt_boxes"].shape[0:2] == (2, 64)
     assert (batch["gt_labels"] > 0).any()
+    # per-scan true image sizes threaded through (scan 1 is 370x1224)
+    for name, size in zip(batch["names"], batch["image_size"]):
+        expected = (370, 1224) if int(name) == 1 else (375, 1242)
+        assert tuple(size) == expected, (name, size)
     # determinism: same seed -> identical batch
     loader2 = KittiLoader(cfg, "train", training=True, seed=7)
     batch2 = next(loader2.batches(2, epochs=1, num_threads=1))
