@@ -1,0 +1,210 @@
+"""Synthetic KITTI-format dataset generator (disk layout identical to real
+KITTI object: velodyne/*.bin, calib/*.txt, label_2/*.txt, planes/*.txt,
+image_2/*.png + train/val list files).
+
+Purpose: the environment has no KITTI data, so the closest available
+system-level proof is running the REAL CLIs (bin.preprocess -> bin.train ->
+bin.evaluate) over an on-disk tree whose scenes are learnable — the
+reference's own integration check is exactly this daemon loop
+(lib/core/evaluator.py:94-135). Scenes: ground plane + clutter + cars with
+surface-sampled interior points, poses spanning the easy/moderate/hard
+difficulty gates.
+
+Usage:
+    python tools/synth_kitti.py --out /tmp/synth_kitti --train 48 --val 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import struct
+import sys
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from ssd3d.data.kitti_io import Calibration  # noqa: E402
+
+# a real-ish KITTI calibration (P2 with small offsets, R0 near identity,
+# velo->cam axis permutation); matches tests/test_data.py
+CALIB_TXT = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
+P1: 700 0 600 0 0 700 180 0 0 0 1 0
+P2: 700 0 600 44.8 0 700 180 0.1 0 0 1 0.003
+P3: 700 0 600 0 0 700 180 0 0 0 1 0
+R0_rect: 0.9999 0.0098 -0.0074 -0.0099 0.9999 -0.0043 0.0074 0.0043 0.9999
+Tr_velo_to_cam: 0.0076 -0.9999 -0.0006 -0.0027 -0.0022 0.0006 -0.9999 -0.0576 0.9999 0.0076 -0.0022 -0.3321
+Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 0
+"""
+
+IMG_H, IMG_W = 375, 1242
+GROUND_Y = 1.65  # camera frame, y down; road plane
+
+
+def write_png(path: str, h: int, w: int) -> None:
+    """Minimal valid grayscale PNG (only the header size is ever read)."""
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = zlib.compress(b"".join(b"\x00" + b"\x80" * w for _ in range(h)))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", raw))
+        f.write(chunk(b"IEND", b""))
+
+
+def _frustum_xz(rng, n, z_lo=6.0, z_hi=68.0):
+    """Random (x, z) inside the camera frustum with margin."""
+    z = rng.uniform(z_lo, z_hi, n).astype(np.float32)
+    x = rng.uniform(-0.78, 0.83, n).astype(np.float32) * z
+    return x, z
+
+
+def sample_cars(rng, k_max=5):
+    """1..k_max non-colliding cars on the ground plane; z spans the
+    easy (<27 m, 2D height >40px) through hard (>44 m, <25px) gates."""
+    k = int(rng.integers(1, k_max + 1))
+    boxes = []
+    for _ in range(50):
+        if len(boxes) == k:
+            break
+        z = float(rng.uniform(7.0, 48.0))
+        x = float(rng.uniform(-0.6, 0.65)) * z * 0.8
+        l, h, w = (np.array([3.9, 1.56, 1.6]) * rng.uniform(0.9, 1.1, 3))
+        ry = float(rng.uniform(-np.pi, np.pi))
+        if all((x - b[0]) ** 2 + (z - b[2]) ** 2 > 36.0 for b in boxes):
+            boxes.append([x, GROUND_Y, z, float(l), float(h), float(w), ry])
+    return np.asarray(boxes, np.float32).reshape(-1, 7)
+
+
+def car_points(rng, box, n):
+    """Surface-biased interior points: lidar sees shells, not volumes."""
+    x, y, z, l, h, w, ry = box
+    u = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    # push each point to a random wall (keep the other two coords)
+    axis = rng.integers(0, 3, n)
+    side = np.sign(rng.uniform(-1, 1, n)).astype(np.float32)
+    u[np.arange(n), axis] = side * 0.48
+    px = u[:, 0] * l
+    py = (u[:, 1] + 0.5) * -h  # [−h, 0] below the bottom-face y (y down)
+    pz = u[:, 2] * w
+    c, s = np.cos(ry), np.sin(ry)
+    rx = c * px + s * pz
+    rz = -s * px + c * pz
+    return np.stack([rx + x, py + y, rz + z], 1).astype(np.float32)
+
+
+def make_scene(rng, n_points=20000, k_max=5):
+    """-> (points_rect [n,4], boxes [k,7]) with ground, clutter, cars."""
+    boxes = sample_cars(rng, k_max)
+    pts = []
+    # ground plane
+    n_ground = int(n_points * 0.55)
+    gx, gz = _frustum_xz(rng, n_ground)
+    gy = GROUND_Y + rng.normal(0, 0.03, n_ground).astype(np.float32)
+    pts.append(np.stack([gx, gy, gz], 1))
+    # clutter blobs (poles, bushes, walls)
+    n_blobs = int(rng.integers(6, 14))
+    for _ in range(n_blobs):
+        bx, bz = _frustum_xz(rng, 1, 7.0, 60.0)
+        m = int(rng.integers(40, 260))
+        cx = bx[0] + rng.normal(0, 0.5, m)
+        cz = bz[0] + rng.normal(0, 0.5, m)
+        cy = GROUND_Y - rng.uniform(0.0, rng.uniform(0.5, 2.2), m)
+        pts.append(np.stack([cx, cy, cz], 1).astype(np.float32))
+    # car shells, density falling with distance
+    for b in boxes:
+        m = int(np.clip(9000.0 / max(b[2], 1.0), 40, 420))
+        pts.append(car_points(rng, b, m))
+    xyz = np.concatenate(pts).astype(np.float32)
+    # top up to n_points with more ground
+    if len(xyz) < n_points:
+        extra = n_points - len(xyz)
+        ex, ez = _frustum_xz(rng, extra)
+        ey = GROUND_Y + rng.normal(0, 0.03, extra).astype(np.float32)
+        xyz = np.concatenate([xyz, np.stack([ex, ey, ez], 1)])
+    intensity = rng.uniform(0, 1, (len(xyz), 1)).astype(np.float32)
+    return np.concatenate([xyz, intensity], 1), boxes
+
+
+def project_box2d(box, P2):
+    """3D box -> clipped 2D image box (same corner math as the framework)."""
+    x, y, z, l, h, w, ry = box
+    xs = np.array([l / 2, l / 2, -l / 2, -l / 2] * 2)
+    ys = np.array([0, 0, 0, 0, -h, -h, -h, -h])
+    zs = np.array([w / 2, -w / 2, -w / 2, w / 2] * 2)
+    c, s = np.cos(ry), np.sin(ry)
+    cx = c * xs + s * zs + x
+    cz = -s * xs + c * zs + z
+    cy = ys + y
+    hom = np.stack([cx, cy, cz, np.ones(8)], 1)
+    uvw = hom @ P2.T
+    uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
+    x1 = np.clip(uv[:, 0].min(), 0, IMG_W)
+    x2 = np.clip(uv[:, 0].max(), 0, IMG_W)
+    y1 = np.clip(uv[:, 1].min(), 0, IMG_H)
+    y2 = np.clip(uv[:, 1].max(), 0, IMG_H)
+    return x1, y1, x2, y2
+
+
+def write_tree(root, n_train=48, n_val=16, n_points=20000, seed=0, k_max=5):
+    """Generate the full KITTI object tree + list files under `root`."""
+    base = os.path.join(root, "training")
+    for sub in ("velodyne", "calib", "label_2", "planes", "image_2"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    calib_path = os.path.join(base, "calib", "000000.txt")
+    with open(calib_path, "w") as f:
+        f.write(CALIB_TXT)
+    calib = Calibration.from_file(calib_path)
+    rng = np.random.default_rng(seed)
+    n_total = n_train + n_val
+    for i in range(n_total):
+        with open(os.path.join(base, "calib", f"{i:06d}.txt"), "w") as f:
+            f.write(CALIB_TXT)
+        write_png(os.path.join(base, "image_2", f"{i:06d}.png"), IMG_H, IMG_W)
+        with open(os.path.join(base, "planes", f"{i:06d}.txt"), "w") as f:
+            f.write(f"# Plane\nWidth 4\nHeight 1\n0 -1 0 {GROUND_Y}\n")
+
+        pts_rect, boxes = make_scene(rng, n_points, k_max)
+        velo = calib.rect_to_velo(pts_rect[:, :3])
+        np.concatenate([velo, pts_rect[:, 3:4]], 1).astype(np.float32).tofile(
+            os.path.join(base, "velodyne", f"{i:06d}.bin")
+        )
+        lines = []
+        for b in boxes:
+            x1, y1, x2, y2 = project_box2d(b, calib.P)
+            alpha = b[6] - np.arctan2(b[0], b[2])
+            lines.append(
+                f"Car 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                f"{b[4]:.2f} {b[5]:.2f} {b[3]:.2f} "
+                f"{b[0]:.2f} {b[1]:.2f} {b[2]:.2f} {b[6]:.2f}\n"
+            )
+        with open(os.path.join(base, "label_2", f"{i:06d}.txt"), "w") as f:
+            f.writelines(lines)
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("".join(f"{i:06d}\n" for i in range(n_train)))
+    with open(os.path.join(root, "val.txt"), "w") as f:
+        f.write("".join(f"{i:06d}\n" for i in range(n_train, n_total)))
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--train", type=int, default=48)
+    ap.add_argument("--val", type=int, default=16)
+    ap.add_argument("--points", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    write_tree(args.out, args.train, args.val, args.points, args.seed)
+    print(f"wrote {args.train}+{args.val} scans to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
