@@ -161,8 +161,13 @@ def get_default_cfg() -> Config:
             CHECKPOINT_INTERVAL=50,
             MAX_CHECKPOINTS_TO_KEEP=10,
             SUMMARY_INTERVAL=10,
+            # histogram summaries -> grad/param global norms in metrics.jsonl
             SUMMARY_HISTOGRAMS=True,
+            # INERT (reference-dead too: the key is defined in the reference
+            # config and never read; its trainer registers only scalar
+            # summaries, trainer.py:80) — kept for YAML compatibility
             SUMMARY_IMG_IMAGES=True,
+            # image summaries -> a BEV PNG per checkpoint in <log_dir>/bev/
             SUMMARY_BEV_IMAGES=True,
             TRAIN_PARAM_PREFIX=[],
             TRAIN_LOSS_PREFIX=[],
@@ -188,6 +193,8 @@ def get_default_cfg() -> Config:
                 HALF_BIN_SEARCH_RANGE=3.0,
                 BIN_CLASS_NUM=12,
             ),
+            # INERT (reference-dead too: never read outside config.py there;
+            # the shipped configs never enable it) — kept for YAML parity
             REGRESSION_MULTI_HEAD=False,
             MULTI_HEAD_DISTRUBUTE=[
                 ["car"], ["construction_vehicle", "truck"], ["bus", "trailer"],
@@ -256,6 +263,9 @@ def get_default_cfg() -> Config:
         LRS=[],
         MAX_ITER=40000,
         MOMENTUM=0.9,
+        # INERT (reference-dead too: SOLVER.WEIGHT_DECAY is defined at its
+        # config.py:431 and read nowhere; per-layer weight_decay args are
+        # passed as None throughout tf_util callers) — kept for YAML parity
         WEIGHT_DECAY=0.0005,
         BIAS_DOUBLE_LR=True,
         BIAS_WEIGHT_DECAY=False,

@@ -84,6 +84,9 @@ class TrainGraph:
     solver_cfg: Any
     tx: Any
     aug_cfg: Any = None  # TRAIN.AUGMENTATIONS when TPU.DEVICE_AUGMENT is on
+    # SUMMARY_HISTOGRAMS: the jsonl/scalar equivalent of the reference's TF
+    # histogram summaries — global grad/param norms per summary window
+    histograms: bool = False
 
     @classmethod
     def build(cls, cfg, model, spec):
@@ -103,6 +106,7 @@ class TrainGraph:
             solver_cfg=cfg.SOLVER,
             tx=make_optimizer(cfg.SOLVER, tuple(cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX)),
             aug_cfg=cfg.TRAIN.AUGMENTATIONS if device_aug else None,
+            histograms=bool(cfg.TRAIN.CONFIG.SUMMARY_HISTOGRAMS),
         )
 
     # ------------------------------------------------------------------
@@ -161,4 +165,7 @@ class TrainGraph:
         )
         metrics = dict(loss_dict, total=total,
                        lr=learning_rate(self.solver_cfg, state.step))
+        if self.histograms:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["param_norm"] = optax.global_norm(new_params)
         return new_state, metrics

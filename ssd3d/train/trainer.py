@@ -166,6 +166,19 @@ class Trainer:
             if it % cfg.CHECKPOINT_INTERVAL == 0:
                 self.ckpt.save(it, jax.device_get(state))
                 self.log(f"saved checkpoint at iter {it}")
+                if cfg.SUMMARY_BEV_IMAGES:
+                    # PNG stand-in for the reference's TF BEV image summary
+                    from ssd3d.utils.viz import draw_bev
+
+                    bev_dir = os.path.join(self.log_dir, "bev")
+                    os.makedirs(bev_dir, exist_ok=True)
+                    gt = batch["gt_boxes"][0]
+                    gt = gt[np.any(gt != 0, axis=-1)]
+                    draw_bev(
+                        np.asarray(batch["points"][0]),
+                        os.path.join(bev_dir, f"iter_{it:07d}.png"),
+                        gt_boxes=gt,
+                    )
         self.ckpt.save(it, jax.device_get(state))
         self.log(f"training done at iter {it}")
         return state
