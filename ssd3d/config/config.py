@@ -174,7 +174,10 @@ def get_default_cfg() -> Config:
         ),
     )
 
-    c.DATA_LOADER = Config(NUM_THREADS=4)
+    # NUM_PROCS -1 = auto: process workers for host-augmented training
+    # (measured faster than threads there: benchmarks/bench_loader.py),
+    # thread workers everywhere else; 0 = always threads; N>0 = N processes
+    c.DATA_LOADER = Config(NUM_THREADS=4, NUM_PROCS=-1)
 
     c.TEST = Config(WITH_GT=True, TEST_MODE="mAP")
 

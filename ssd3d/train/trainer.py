@@ -141,10 +141,16 @@ class Trainer:
         start_step = int(state.step)
         rng = jax.random.PRNGKey(self.seed + 1)
 
+        num_procs = self.cfg.DATA_LOADER.NUM_PROCS
+        if num_procs < 0:  # auto: processes only when the host runs the
+            # augmentation chain (measured faster: benchmarks/bench_loader.py)
+            num_procs = 4 if self.loader.augmentor is not None else 0
         t_last = time.time()
         it = start_step
         for batch in self.loader.batches(
-            self.batch_size, num_threads=self.cfg.DATA_LOADER.NUM_THREADS
+            self.batch_size,
+            num_threads=self.cfg.DATA_LOADER.NUM_THREADS,
+            num_procs=num_procs,
         ):
             if it >= max_iters:
                 break
