@@ -2,15 +2,25 @@
 
 The reference shells out to the nuScenes devkit (which is broken/absent in
 its tree — SURVEY.md §2.9); this is a self-contained implementation of the
-published CVPR-2019 protocol:
+published CVPR-2019 protocol, matching the devkit's algo.py semantics
+exactly:
 
-- matching by BEV center distance at thresholds {0.5, 1, 2, 4} m
-- AP = normalized area of the (max-)precision/recall curve restricted to
-  recall, precision > 10%
-- TP errors at the 2 m threshold: ATE (center distance), ASE (1 - aligned
-  3D IoU = 1 - min-ratio volume overlap), AOE (yaw delta, period pi for
-  barriers), AVE (velocity L2), AAE (1 - attribute accuracy)
-- NDS = (5*mAP + sum_tp max(0, 1 - err)) / 10
+- matching by BEV center distance at thresholds {0.5, 1, 2, 4} m, greedy
+  over score-sorted detections, closest untaken same-class GT per frame
+- precision/recall interpolated onto 101 recall points (np.interp,
+  right=0, NO monotone smoothing — the devkit does none either);
+  AP = mean over recall points 11..100 of max(precision - 0.1, 0) / 0.9
+- TP errors at the 2 m threshold: per-match errors -> nan-aware cumulative
+  mean as a function of confidence, interpolated onto the 101-point
+  confidence curve; the reported error is the mean over recall points
+  11..max_achieved (1.0 when max recall < 11%): ATE (center distance),
+  ASE (1 - size-aligned 3D IoU), AOE (yaw delta; period pi for barriers),
+  AVE (velocity L2), AAE (1 - attribute accuracy; nan when the GT carries
+  no attribute)
+- class exceptions applied at aggregation (devkit detection/evaluate.py):
+  traffic_cone has no orientation/velocity/attribute, barrier no
+  velocity/attribute
+- NDS = (5*mAP + sum over the 5 TP metrics of max(0, 1 - err)) / 10
 
 Boxes here use the framework-wide camera-style box_3d convention; the BEV
 plane is (x, z).
@@ -27,10 +37,14 @@ DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
 TP_THRESHOLD = 2.0
 MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
+N_REC = 101
+TP_METRICS = ("trans", "scale", "orient", "vel", "attr")
 
-# classes with no meaningful orientation period / velocity / attribute
-NO_VELOCITY = {"barrier", "traffic_cone"}
-NO_ATTRIBUTE = {"barrier", "traffic_cone"}
+# aggregation-stage class exceptions (devkit evaluate.py)
+METRIC_EXCEPTIONS = {
+    "traffic_cone": {"orient", "vel", "attr"},
+    "barrier": {"vel", "attr"},
+}
 PERIOD_PI = {"barrier"}
 
 
@@ -57,16 +71,48 @@ def _angle_diff(a, b, period):
 
 
 def _aligned_iou_3d(det: NuscBox, gt: NuscBox) -> float:
-    """IoU of the two boxes translated/rotated onto each other (size-only)."""
+    """IoU of the two boxes translated/rotated onto each other (size-only;
+    devkit scale_iou)."""
     inter = np.prod(np.minimum(det.size, gt.size))
     union = np.prod(det.size) + np.prod(gt.size) - inter
     return float(inter / max(union, 1e-9))
 
 
-def _accumulate(gts, dets, cls: str, dist_th: float):
-    """One class, one threshold over the whole split.
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """nan-aware cumulative mean (devkit utils.cummean): nan entries carry
+    the previous mean forward and don't count."""
+    if len(x) == 0:
+        return x
+    ok = ~np.isnan(x)
+    cnt = np.cumsum(ok)
+    s = np.nancumsum(x)
+    return s / np.maximum(cnt, 1)
 
-    Returns (precision [nd], recall [nd], tp_errors dict of lists)."""
+
+@dataclasses.dataclass
+class MetricData:
+    """101-point curves for one (class, threshold) accumulation."""
+
+    recall: np.ndarray
+    precision: np.ndarray
+    confidence: np.ndarray
+    errs: dict  # metric -> [101] curves (cummean over conf)
+
+    @property
+    def max_recall_ind(self) -> int:
+        nz = np.nonzero(self.confidence)[0]
+        return int(nz[-1]) if len(nz) else 0
+
+    @classmethod
+    def empty(cls):
+        z = np.zeros(N_REC)
+        return cls(np.linspace(0, 1, N_REC), z, z,
+                   {k: np.ones(N_REC) for k in TP_METRICS})
+
+
+def _accumulate(gts, dets, cls: str, dist_th: float):
+    """One class, one threshold over the whole split (devkit accumulate).
+    Returns (MetricData, npos)."""
     gt_cls = [[g for g in frame if g.cls == cls] for frame in gts]
     npos = sum(len(f) for f in gt_cls)
     all_dets = []
@@ -77,8 +123,9 @@ def _accumulate(gts, dets, cls: str, dist_th: float):
     all_dets.sort(key=lambda x: -x[1].score)
 
     taken = [set() for _ in gts]
-    tp, fp = [], []
-    errs = {"trans": [], "scale": [], "orient": [], "vel": [], "attr": []}
+    tp, fp, conf = [], [], []
+    match = {k: [] for k in TP_METRICS}
+    match_conf = []
     for frame_i, det in all_dets:
         best, best_j = np.inf, -1
         for j, gt in enumerate(gt_cls[frame_i]):
@@ -91,75 +138,101 @@ def _accumulate(gts, dets, cls: str, dist_th: float):
             taken[frame_i].add(best_j)
             tp.append(1.0)
             fp.append(0.0)
+            conf.append(det.score)
             gt = gt_cls[frame_i][best_j]
-            errs["trans"].append(best)
-            errs["scale"].append(1.0 - _aligned_iou_3d(det, gt))
+            match["trans"].append(best)
+            match["scale"].append(1.0 - _aligned_iou_3d(det, gt))
             period = math.pi if cls in PERIOD_PI else 2 * math.pi
-            errs["orient"].append(_angle_diff(det.ry, gt.ry, period))
-            if cls not in NO_VELOCITY:
-                errs["vel"].append(
-                    float(np.linalg.norm(det.velocity - gt.velocity))
-                )
-            if cls not in NO_ATTRIBUTE and gt.attribute >= 0:
-                errs["attr"].append(float(det.attribute != gt.attribute))
+            match["orient"].append(_angle_diff(det.ry, gt.ry, period))
+            match["vel"].append(
+                float(np.linalg.norm(det.velocity - gt.velocity))
+            )
+            match["attr"].append(
+                float(det.attribute != gt.attribute)
+                if gt.attribute >= 0 else np.nan
+            )
+            match_conf.append(det.score)
         else:
             tp.append(0.0)
             fp.append(1.0)
+            conf.append(det.score)
+
+    if npos == 0 or not match_conf:
+        return MetricData.empty(), npos
 
     tp = np.cumsum(tp)
     fp = np.cumsum(fp)
-    recall = tp / max(npos, 1)
+    conf = np.asarray(conf, float)
+    recall = tp / npos
     precision = tp / np.maximum(tp + fp, 1e-9)
-    return precision, recall, errs, npos
+
+    rec_interp = np.linspace(0, 1, N_REC)
+    prec_i = np.interp(rec_interp, recall, precision, right=0)
+    conf_i = np.interp(rec_interp, recall, conf, right=0)
+    errs = {}
+    mconf = np.asarray(match_conf, float)
+    for key in TP_METRICS:
+        tmp = _cummean(np.asarray(match[key], float))
+        # error as a function of confidence, evaluated at the 101-point
+        # confidence curve (devkit: interp over reversed/ascending conf)
+        errs[key] = np.interp(conf_i[::-1], mconf[::-1], tmp[::-1])[::-1]
+    return MetricData(rec_interp, prec_i, conf_i, errs), npos
 
 
-def _ap_from_pr(precision, recall) -> float:
-    """Normalized AP over the (0.1, 1] recall range with the 10% precision
-    floor (devkit's calc_ap)."""
-    if len(recall) == 0:
-        return 0.0
-    rec_interp = np.linspace(0, 1, 101)
-    prec = np.interp(rec_interp, recall, precision, right=0)
-    # running max from the right (devkit interpolates on raw curve; close)
-    prec = np.maximum.accumulate(prec[::-1])[::-1]
-    prec = prec[rec_interp >= MIN_RECALL + 1e-9]
-    prec = np.maximum(prec - MIN_PRECISION, 0)
-    return float(np.mean(prec) / (1.0 - MIN_PRECISION))
+def calc_ap(md: MetricData) -> float:
+    """devkit calc_ap: mean over recall points 11..100 of the 10%-floored
+    precision, normalized."""
+    prec = np.copy(md.precision)[round(100 * MIN_RECALL) + 1:]
+    prec -= MIN_PRECISION
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - MIN_PRECISION)
+
+
+def calc_tp(md: MetricData, metric: str) -> float:
+    """devkit calc_tp: mean of the cummean-error curve over recall points
+    11..max_achieved; 1.0 when the detector never reaches 11% recall."""
+    first = round(100 * MIN_RECALL) + 1
+    last = md.max_recall_ind
+    if last < first:
+        return 1.0
+    return float(np.mean(md.errs[metric][first:last + 1]))
 
 
 def evaluate_nuscenes(gts, dets, cls_list) -> dict:
     """gts/dets: per-frame lists of NuscBox. Returns per-class APs, TP
     errors, mAP, and NDS."""
     results: dict = {"per_class": {}}
-    aps_all, tp_errs_all = [], {k: [] for k in
-                                ("trans", "scale", "orient", "vel", "attr")}
+    aps_all = []
+    tp_errs_all = {k: [] for k in TP_METRICS}
     for cls in cls_list:
         aps = []
-        cls_errs = None
+        tp_md = None
         for th in DIST_THRESHOLDS:
-            precision, recall, errs, npos = _accumulate(gts, dets, cls, th)
-            aps.append(_ap_from_pr(precision, recall) if npos else 0.0)
+            md, npos = _accumulate(gts, dets, cls, th)
+            aps.append(calc_ap(md) if npos else 0.0)
             if th == TP_THRESHOLD:
-                cls_errs = errs
+                tp_md = md
         mean_ap = float(np.mean(aps))
         entry = {"ap": aps, "mean_ap": mean_ap}
-        for key, vals in (cls_errs or {}).items():
-            applicable = not (
-                (key == "vel" and cls in NO_VELOCITY)
-                or (key == "attr" and cls in NO_ATTRIBUTE)
-            )
-            if applicable:
-                err = float(np.mean(vals)) if vals else 1.0
-                entry[key] = err
-                tp_errs_all[key].append(err)
+        for key in TP_METRICS:
+            if key in METRIC_EXCEPTIONS.get(cls, ()):
+                continue
+            err = calc_tp(tp_md, key)
+            entry[key] = err
+            tp_errs_all[key].append(err)
         results["per_class"][cls] = entry
         aps_all.append(mean_ap)
 
     mAP = float(np.mean(aps_all)) if aps_all else 0.0
+    # NDS: fixed /10 — 5*mAP + one score per TP metric; a metric with no
+    # applicable class (degenerate class list) contributes 0
     tp_scores = [
-        max(0.0, 1.0 - float(np.mean(v))) for v in tp_errs_all.values() if v
+        max(0.0, 1.0 - float(np.mean(v))) if v else 0.0
+        for v in tp_errs_all.values()
     ]
-    nds = (5.0 * mAP + sum(tp_scores)) / (5.0 + len(tp_scores))
+    results["tp_errors"] = {
+        k: (float(np.mean(v)) if v else None) for k, v in tp_errs_all.items()
+    }
     results["mAP"] = mAP
-    results["NDS"] = float(nds)
+    results["NDS"] = float((5.0 * mAP + sum(tp_scores)) / 10.0)
     return results

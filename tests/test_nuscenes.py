@@ -194,6 +194,107 @@ def test_nusc_metric_degrades():
     assert res["NDS"] < 0.9
 
 
+def test_nusc_metric_worked_example_exact():
+    """Hand-computed fixture for the full CVPR-2019 protocol math: one
+    frame, 3 GT cars, 2 detections (D0 at 0.4 m / score .9, D1 at 0.9 m /
+    score .8 with half-length size, 0.3 rad yaw error and unit velocity
+    error split across the two), one GT undetected.
+
+    Derivation (101-point recall grid, thresholds {.5,1,2,4} m):
+    - th=0.5: only D0 matches -> recall [1/3,1/3], precision [1,.5];
+      interpolated curve = 1.0 for r<1/3, 0 beyond ->
+      AP = 23*0.9/90/0.9 = 23/90.
+    - th in {1,2,4}: both match -> precision 1 up to recall 2/3 ->
+      AP = 56/90 (grid points 11..66).
+    - TP errors at 2 m: cummean curves over confidence
+      trans [0.4,0.65], scale [0,0.25], orient [0.3,0.15], vel [1,0.5],
+      attr [0,0.5]; conf curve 0.9 flat to r=1/3 then linear to 0.8 at
+      r=2/3, zero after; max-recall index 66 -> mean over grid 11..66:
+      err = cm1 + (cm2-cm1)*16.5/56 (sum of (r_i-1/3) over i=34..66 is 5.5,
+      scaled by 3 for the 1/3-wide segment).
+    - NDS = (5*mAP + sum max(0,1-err))/10.
+    """
+    size = np.array([4.0, 1.5, 2.0])
+    half = np.array([2.0, 1.5, 2.0])
+
+    def box(x, sz=size, ry=0.0, vel=(0, 0), attr=0, score=-1.0):
+        return NuscBox("car", np.array([x, 1.0, 0.0]), sz, ry,
+                       np.asarray(vel, float), attr, score)
+
+    gts = [[box(0.0), box(10.0), box(30.0)]]
+    dets = [[
+        box(0.4, ry=0.3, vel=(1, 0), attr=0, score=0.9),      # D0 -> G0
+        box(10.9, sz=half, vel=(0, 0), attr=1, score=0.8),    # D1 -> G1
+    ]]
+    res = evaluate_nuscenes(gts, dets, ["car"])
+
+    ap_05 = 23 * 0.9 / 90.0 / 0.9
+    ap_rest = 56 / 90.0
+    np.testing.assert_allclose(
+        res["per_class"]["car"]["ap"], [ap_05, ap_rest, ap_rest, ap_rest],
+        atol=1e-12,
+    )
+    mAP = (ap_05 + 3 * ap_rest) / 4.0
+    assert res["mAP"] == pytest.approx(mAP, abs=1e-12)
+
+    k = 16.5 / 56.0
+    expected = {
+        "trans": 0.4 + 0.25 * k,
+        "scale": 0.0 + 0.25 * k,
+        "orient": 0.3 - 0.15 * k,
+        "vel": 1.0 - 0.5 * k,
+        "attr": 0.0 + 0.5 * k,
+    }
+    for key, val in expected.items():
+        assert res["per_class"]["car"][key] == pytest.approx(val, abs=1e-12), key
+    nds = (5 * mAP + sum(max(0.0, 1.0 - v) for v in expected.values())) / 10.0
+    assert res["NDS"] == pytest.approx(nds, abs=1e-12)
+
+
+def test_nusc_metric_perfect_exact():
+    """GT == detections at distinct scores: every curve saturates ->
+    AP exactly 1 at every threshold, every TP error exactly 0, NDS 1."""
+    frame = [
+        NuscBox("car", np.array([x, 1.0, 0.0]), np.array([4, 1.5, 2.0]),
+                0.5, np.array([1.0, 0.0]), 0)
+        for x in np.arange(0, 100, 10.0)
+    ]
+    dets = [[dataclasses_replace_score(b, 1.0 - 0.05 * i)
+             for i, b in enumerate(frame)]]
+    res = evaluate_nuscenes([frame], dets, ["car"])
+    np.testing.assert_allclose(res["per_class"]["car"]["ap"], [1.0] * 4,
+                               atol=1e-12)
+    for key in ("trans", "scale", "orient", "vel", "attr"):
+        assert res["per_class"]["car"][key] == 0.0, key
+    assert res["mAP"] == pytest.approx(1.0, abs=1e-12)
+    assert res["NDS"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_nusc_metric_class_exceptions():
+    """traffic_cone reports no orientation/velocity/attribute error and
+    barrier no velocity/attribute (devkit aggregation exceptions); barrier
+    yaw uses period pi (a pi flip is a perfect orientation match)."""
+    cone = NuscBox("traffic_cone", np.zeros(3), np.ones(3), 0.0)
+    barrier = NuscBox("barrier", np.array([10.0, 0, 0]), np.ones(3), 0.0)
+    dets = [[
+        dataclasses_replace_score(cone, 0.9),
+        NuscBox("barrier", np.array([10.0, 0, 0]), np.ones(3),
+                np.pi, score=0.8),
+    ]]
+    res = evaluate_nuscenes([[cone, barrier]], dets,
+                            ["traffic_cone", "barrier"])
+    for key in ("orient", "vel", "attr"):
+        assert key not in res["per_class"]["traffic_cone"]
+    for key in ("vel", "attr"):
+        assert key not in res["per_class"]["barrier"]
+    assert res["per_class"]["barrier"]["orient"] == pytest.approx(0.0, abs=1e-9)
+
+
+def dataclasses_replace_score(b: NuscBox, score: float) -> NuscBox:
+    return NuscBox(b.cls, b.center, b.size, b.ry, b.velocity, b.attribute,
+                   score)
+
+
 def _write_raw_nusc_tree(root):
     """Minimal raw nuScenes v1.0 tree: 1 scene, 2 key frames, 1 sweep, one
     moving car annotated in both frames. Key poses: frame 1 at the global
