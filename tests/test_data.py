@@ -280,6 +280,7 @@ def test_mixup_place_snaps_to_plane(rng):
     assert len(boxes2) == 1
 
 
+@pytest.mark.slow
 def test_device_aug_loader_and_train_step(mini_kitti, tmp_path):
     """Device-aug mode: loader emits raw scans + fixed-shape mixup candidates;
     the train step augments on device and still converges finitely."""

@@ -92,6 +92,7 @@ def test_forward_is_jittable_and_deterministic(tiny_model):
     np.testing.assert_array_equal(np.asarray(a["cls"]), np.asarray(b["cls"]))
 
 
+@pytest.mark.slow
 def test_gradients_flow(tiny_model):
     cfg, model, spec, variables, pts = tiny_model
 
@@ -109,6 +110,7 @@ def test_gradients_flow(tiny_model):
     assert nonzero > len(flat) * 0.5  # most params receive gradient
 
 
+@pytest.mark.slow
 def test_real_3dssd_arch_builds():
     """The shipped reference YAML builds the documented shape trace
     (SURVEY.md §3.5) — checked at reduced point count for CPU speed."""

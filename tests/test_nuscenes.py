@@ -101,6 +101,7 @@ def nusc_env(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_nuscenes_loader_and_model(nusc_env):
     cfg = load_cfg("/root/repo/configs/nuscenes/3dssd/3dssd.yaml")
     cfg.DATASET.NUSCENES.MAX_CUR_SAMPLE_POINTS_NUM = 512

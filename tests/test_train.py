@@ -67,27 +67,6 @@ def test_mask_assign_matches_oracle(rng):
     assert (got_cls * (1 - pmask) == 0).all()
 
 
-def test_iou_assign_runs(rng):
-    gt = random_boxes(rng, 4)
-    labels = np.ones(4, np.int32)
-    pts = gt[:, :3] + rng.uniform(-0.3, 0.3, (4, 3)).astype(np.float32)
-    from ssd3d.core.box_coders import AnchorGenerator
-
-    gen = AnchorGenerator("KITTI", ("Car",), "Dist-Anchor")
-    anchors = gen(jnp.asarray(pts)[None])
-    cfg = AssignerConfig(
-        method="IoU", iou_sample_type="3D", minibatch_size=2,
-        positive_ratio=0.5, pos_iou=0.1, neg_iou=0.05,
-        effective_sample_range=10.0,
-    )
-    out = assign_targets(
-        cfg, jax.random.PRNGKey(0), jnp.asarray(pts)[None], anchors,
-        jnp.asarray(gt)[None], jnp.asarray(labels)[None],
-    )
-    # minibatch caps the selected points
-    assert np.asarray(out["pmask"]).sum() + np.asarray(out["nmask"]).sum() <= 2
-
-
 def _iou_assign_oracle(points, anchors, gt_boxes, gt_labels, iou_matrix,
                        pos_iou, neg_iou, sample_range):
     """Numpy oracle for IoU assignment, minibatch -1 — a direct port of the
@@ -327,6 +306,7 @@ def test_train_step_sharded_multichip(tiny_train):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_train_step_remat_matches(tiny_train):
     """TPU.REMAT_SA_LAYERS recomputes backbone activations in the backward
     pass; losses/grads must be numerically unchanged."""

@@ -108,6 +108,7 @@ def _changed(tree_a, tree_b):
     )
 
 
+@pytest.mark.slow
 def test_two_stage_train_step(two_stage):
     """End-to-end mode (no prefixes): stage-1 losses train; stage-2 losses
     exist but are zero until the RPN produces overlapping proposals — the
@@ -133,6 +134,7 @@ def test_two_stage_train_step(two_stage):
     assert float(metrics["total"]) < first  # overfits the fixed batch
 
 
+@pytest.mark.slow
 def test_stage2_freeze(two_stage):
     """TRAIN_PARAM_PREFIX ['rcnn', 'roi'] freezes the RPN; contrast with the
     unfrozen run where the RPN moves."""
@@ -159,6 +161,7 @@ def test_stage2_freeze(two_stage):
     assert _changed(before["rpn_backbone"], after["rpn_backbone"])
 
 
+@pytest.mark.slow
 def test_only_first_stage():
     cfg = prcnn_cfg(only_first=True)
     model, rpn_spec, rcnn_spec = build_two_stage(cfg, nms_pre_topk=256)
