@@ -209,6 +209,81 @@ def ffps_pallas(dist: Array, npoint: int) -> Array:
     return out
 
 
+def _ffps_hbm_kernel(n: int, m: int, b: int, mat_ref, out_ref,
+                     dist_ref, row_ref, sem):
+    """F-FPS with the distance matrix resident in HBM: only the picked
+    point's row is DMA'd into VMEM each iteration. All batch elements
+    advance together so their row DMAs issue back-to-back and the
+    latencies overlap (the pick order is data-dependent, so rows cannot
+    be prefetched — overlapping ACROSS clouds is the available
+    parallelism).
+
+    mat_ref: ANY [b, n, 8, n/8]; out_ref: SMEM [b, m]; dist_ref: VMEM
+    [b, 8, n/8]; row_ref: VMEM [b, 1, 8, n/8]; sem: DMA semaphore array [b].
+    """
+    cols = n // _SUBLANES
+    linear = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 0) * cols
+        + jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 1)
+    )
+    dist_ref[:] = jnp.full((b, _SUBLANES, cols), jnp.inf, jnp.float32)
+    for c in range(b):
+        out_ref[c, 0] = 0
+
+    def body(j, last):
+        copies = []
+        for c in range(b):
+            cp = pltpu.make_async_copy(
+                mat_ref.at[c, pl.ds(last[c], 1)], row_ref.at[c],
+                sem.at[c],
+            )
+            cp.start()
+            copies.append(cp)
+        nxt = []
+        for c in range(b):
+            copies[c].wait()
+            dist = jnp.minimum(dist_ref[c], row_ref[c, 0])
+            dist_ref[c] = dist
+            vmax = jnp.max(dist)
+            best = jnp.min(jnp.where(dist == vmax, linear, jnp.int32(n)))
+            out_ref[c, j] = best
+            nxt.append(best)
+        return tuple(nxt)
+
+    jax.lax.fori_loop(1, m, body, (jnp.int32(0),) * b)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ffps_pallas_hbm(dist: Array, npoint: int) -> Array:
+    """F-FPS for matrices too large for VMEM (the 4096-point fusion-sampling
+    segment: 4096^2 f32 = 64 MB per cloud). The matrix stays in HBM; each
+    iteration streams just the picked row (n*4 bytes) per cloud.
+
+    dist: [b, n, n] float32 -> int32 [b, npoint]."""
+    b, n, _ = dist.shape
+    assert n % _SUBLANES == 0, n
+    cols = n // _SUBLANES
+    mat = dist.astype(jnp.float32).reshape(b, n, _SUBLANES, cols)
+
+    kernel = functools.partial(_ffps_hbm_kernel, n, npoint, b)
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((b, npoint), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((b, _SUBLANES, cols), jnp.float32),
+            pltpu.VMEM((b, 1, _SUBLANES, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((b,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(mat)
+
+
 def fps_pallas(xyz: Array, npoint: int) -> Array:
     """xyz: [b, n, 3] float32 -> int32 [b, npoint]. Dispatches between the
     batch-parallel kernel (amortizes loop overhead across clouds) and the

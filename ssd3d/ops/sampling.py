@@ -77,11 +77,18 @@ def farthest_point_sample_from_dist(dist: Array, npoint: int,
         and jax.default_backend() == "tpu"
         and dist.shape[1] % 8 == 0
         and dist.dtype == jnp.float32
-        and dist.shape[0] * dist.shape[1] * dist.shape[2] * 4 <= 80 * 2**20
     ):
-        from ssd3d.ops.pallas.fps import ffps_pallas
+        nbytes = dist.shape[0] * dist.shape[1] * dist.shape[2] * 4
+        if nbytes <= 80 * 2**20:
+            from ssd3d.ops.pallas.fps import ffps_pallas
 
-        return ffps_pallas(dist, npoint)
+            return ffps_pallas(dist, npoint)
+        if dist.shape[0] <= 16:
+            # too big for VMEM (e.g. the 4096-point fusion-sampling
+            # segment): stream the picked rows from HBM instead
+            from ssd3d.ops.pallas.fps import ffps_pallas_hbm
+
+            return ffps_pallas_hbm(dist, npoint)
 
     def single(mat: Array) -> Array:
         n = mat.shape[0]

@@ -37,6 +37,29 @@ def test_fps_batch_kernel_matches_reference(interpret, rng):
     np.testing.assert_array_equal(got_tiled, want)
 
 
+def test_ffps_hbm_kernel_matches_reference(interpret, rng):
+    """The HBM-streamed F-FPS (rows DMA'd per pick) against the jnp loop —
+    small shapes here; on chip it serves matrices too big for VMEM."""
+    import importlib
+
+    import ssd3d.ops.pallas.fps as f
+
+    importlib.reload(f)
+    from ssd3d.core.geometry import square_distance
+    from ssd3d.ops.sampling import farthest_point_sample_from_dist
+
+    feats = jnp.asarray(rng.randn(3, 128, 6).astype(np.float32))
+    dist = square_distance(feats, feats)
+    want = np.asarray(
+        farthest_point_sample_from_dist(dist, 32, use_pallas=False)
+    )
+    got = np.asarray(f.ffps_pallas_hbm(dist, 32))
+    np.testing.assert_array_equal(got, want)
+    # VMEM-resident variant agrees too
+    got_vmem = np.asarray(f.ffps_pallas(dist, 32))
+    np.testing.assert_array_equal(got_vmem, want)
+
+
 def test_ring_words_kernel_exact(interpret, rng):
     import importlib
 
