@@ -1,0 +1,104 @@
+"""Per-config inference benchmarks for every BASELINE.json config family:
+
+  1. 3DSSD KITTI Car        (16,384 pts)   — the bench.py headline
+  2. 3DSSD KITTI 3-class    (16,384 pts)
+  3. PointRCNN two-stage    (16,384 pts)   — exercises three_nn/interpolate
+  4. 3DSSD nuScenes         (65,536 pts, 10-class + velocity/attr heads)
+
+    PYTHONPATH=. python benchmarks/bench_configs.py [out.json]
+
+Each entry: pipelined batch-N scans/s + batch-1 blocking latency on the
+current backend (run on the TPU for the recorded numbers). Results are
+written as JSON (committed under benchmarks/ per round).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def bench_pipeline(cfg_path, n_points, batch, opts=(), n_feat=4):
+    import jax
+    import jax.numpy as jnp
+
+    from ssd3d.config import load_cfg
+    from ssd3d.models.api import build_pipeline
+    from tools.synth_kitti import make_scene
+
+    cfg = load_cfg(cfg_path, list(opts))
+    pipeline = build_pipeline(cfg)
+
+    rng = np.random.default_rng(0)
+    pts = np.zeros((batch, n_points, n_feat), np.float32)
+    for b in range(batch):
+        scan, _ = make_scene(rng, n_points=n_points + 2048, k_max=6)
+        sel = rng.choice(len(scan), n_points, replace=len(scan) < n_points)
+        pts[b, :, :4] = scan[sel]
+    x = jnp.asarray(pts)
+
+    state = pipeline.graph.init_state(jax.random.PRNGKey(0), x[:1])
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    infer = jax.jit(pipeline.infer)
+
+    def once(i, v=variables):
+        return infer(v, x + jnp.float32(i) * 1e-3)
+
+    float(once(0)["scores"].sum())
+    float(once(1)["scores"].sum())
+    iters = 10
+    t0 = time.perf_counter()
+    outs = [once(i + 2) for i in range(iters)]
+    float(outs[-1]["scores"].sum())
+    tput = batch * iters / (time.perf_counter() - t0)
+
+    x1 = x[:1]
+    infer1 = jax.jit(pipeline.infer)
+    float(infer1(variables, x1)["scores"].sum())
+    float(infer1(variables, x1 + jnp.float32(1e-3))["scores"].sum())
+    lats = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        float(infer1(variables, x1 + jnp.float32((i + 2) * 1e-3))["scores"].sum())
+        lats.append(time.perf_counter() - t0)
+    return {
+        "scans_per_sec": round(tput, 2),
+        "batch": batch,
+        "batch1_latency_ms": round(float(np.median(lats)) * 1e3, 2),
+        "points": n_points,
+    }
+
+
+CONFIGS = [
+    ("3dssd_kitti_car", "configs/kitti/3dssd/3dssd.yaml", 16384, 8, (), 4),
+    ("3dssd_kitti_3cls", "configs/kitti/3dssd/3dssd_3cls.yaml", 16384, 8, (), 4),
+    ("pointrcnn_kitti", "configs/kitti/pointrcnn/pointrcnn_test.yaml",
+     16384, 2, (), 4),
+    ("3dssd_nuscenes", "configs/nuscenes/3dssd/3dssd.yaml", 65536, 1, (), 5),
+]
+
+
+def main():
+    import jax
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/results_configs.json"
+    results = {"backend": jax.default_backend()}
+    for name, cfg_path, n_pts, batch, opts, n_feat in CONFIGS:
+        print(f"benchmarking {name}...", flush=True)
+        try:
+            results[name] = bench_pipeline(cfg_path, n_pts, batch, opts, n_feat)
+        except Exception as e:  # record the failure, keep the rest
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"  {results[name]}", flush=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,11 +39,14 @@ _W = 16  # bits per word
 BLOCK = 256  # points per count block (selection's coarse level)
 
 
-def _kernel(n: int, rings: tuple, q_ref, pts_ref, *refs):
-    """q_ref: [1, QT, 3]; pts_ref: [1, 3, n]; refs: per ring a words ref
-    [1, QT, n/16], then per ring a counts ref [1, n/BLOCK, QT], then the
-    [NB, NB//W] constant-bit-matrix VMEM scratch (filled here)."""
-    nblocks = n // _NB
+_NCHUNK = 16384  # points per grid slab (keeps the words block <= 1 MB/ring)
+
+
+def _kernel(nchunk: int, rings: tuple, q_ref, pts_ref, *refs):
+    """q_ref: [1, QT, 3]; pts_ref: [1, 3, nchunk]; refs: per ring a words ref
+    [1, QT, nchunk/16], then per ring a counts ref [1, nchunk/BLOCK, QT], then
+    the [NB, NB//W] constant-bit-matrix VMEM scratch (filled here)."""
+    nblocks = nchunk // _NB
     wpb = _NB // _W  # words per inner block
     bpb = _NB // BLOCK  # count blocks per inner block
     R = len(rings)
@@ -101,6 +104,11 @@ def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple):
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     assert n % _NB == 0, n
+    # Slab the point axis so each grid step's words block stays ~1 MB/ring:
+    # at n=65536 (nuScenes) the un-slabbed [QT, n/16] block is 4 MB/ring and
+    # blows the 16 MB scoped-VMEM limit (3 rings, double-buffered).
+    nchunk = _NCHUNK if n > _NCHUNK and n % _NCHUNK == 0 else n
+    nct = n // nchunk
     pad_m = (-m) % _QT
     q = new_xyz.astype(jnp.float32)
     if pad_m:
@@ -110,27 +118,29 @@ def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple):
     pts_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # [b, 3, n]
     R = len(rings)
     nbt = n // BLOCK
+    cbc = nchunk // BLOCK  # count blocks per slab
+    wpc = nchunk // _W  # words per slab
 
-    kernel = functools.partial(_kernel, n, tuple(rings))
+    kernel = functools.partial(_kernel, nchunk, tuple(rings))
     out_shapes = [
         jax.ShapeDtypeStruct((b, mp, n // _W), jnp.float32) for _ in range(R)
     ] + [jax.ShapeDtypeStruct((b, nbt, mp), jnp.float32) for _ in range(R)]
     out_specs = [
-        pl.BlockSpec((1, _QT, n // _W), lambda i, j: (i, j, 0),
+        pl.BlockSpec((1, _QT, wpc), lambda i, j, c: (i, j, c),
                      memory_space=pltpu.VMEM)
         for _ in range(R)
     ] + [
-        pl.BlockSpec((1, nbt, _QT), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, cbc, _QT), lambda i, j, c: (i, c, j),
                      memory_space=pltpu.VMEM)
         for _ in range(R)
     ]
     outs = pl.pallas_call(
         kernel,
-        grid=(b, mt),
+        grid=(b, mt, nct),
         in_specs=[
-            pl.BlockSpec((1, _QT, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, _QT, 3), lambda i, j, c: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 3, nchunk), lambda i, j, c: (i, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,

@@ -60,6 +60,25 @@ def test_ffps_hbm_kernel_matches_reference(interpret, rng):
     np.testing.assert_array_equal(got_vmem, want)
 
 
+def test_ring_words_kernel_slabbed_matches_unslabbed(interpret, rng,
+                                                     monkeypatch):
+    """The n-axis slab path (used when n > _NCHUNK, e.g. nuScenes 65536)
+    must produce identical words/counts to the single-slab path."""
+    import importlib
+
+    import ssd3d.ops.pallas.ring_words as rw
+
+    importlib.reload(rw)
+    xyz = jnp.asarray(rng.uniform(-3, 3, (2, 4096, 3)).astype(np.float32))
+    new_xyz = xyz[:, :256]
+    rings = ((0.0, 0.16, False), (0.16, 0.64, True))
+    want_w, want_c = rw.ring_words_pallas(xyz, new_xyz, rings)
+    monkeypatch.setattr(rw, "_NCHUNK", rw._NB)  # force 2 slabs
+    got_w, got_c = rw.ring_words_pallas.__wrapped__(xyz, new_xyz, rings)
+    for a, b in zip(got_w + got_c, want_w + want_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ring_words_kernel_exact(interpret, rng):
     import importlib
 
