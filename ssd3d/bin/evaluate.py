@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ssd3d.config import load_cfg
+from ssd3d.data import build_loader
 from ssd3d.data.kitti_io import KittiScene
-from ssd3d.data.loader import KittiLoader
 import numpy as np
 
 from ssd3d.eval.predictions import (
@@ -34,9 +34,17 @@ from ssd3d.train.trainer import CheckpointManager
 
 def evaluate_checkpoint(cfg, pipeline, state, split="val",
                         cls_thresh=0.3, limit=None, log=print):
-    loader = KittiLoader(cfg, split, training=False)
-    scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
+    loader = build_loader(cfg, split, training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if cfg.DATASET.TYPE.upper() == "NUSCENES":
+        from ssd3d.eval import nuscenes_predictions as nusc
+
+        det, gt, _ = nusc.run_inference_on_split(
+            cfg, pipeline.infer, pipeline.cls_list, variables, loader,
+            cls_thresh=cls_thresh, log=log, limit=limit,
+        )
+        return nusc.evaluate_split(cfg, det, gt, pipeline.cls_list, log=log)
+    scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
     det, gt, _ = run_inference_on_split(
         cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=cls_thresh, log=log, limit=limit,
@@ -68,7 +76,8 @@ def main():
     cfg = load_cfg(args.cfg, args.opts)
 
     pipeline = build_pipeline(cfg)
-    example = jnp.zeros((1, cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32)
+    shape_loader = build_loader(cfg, args.split, training=False)
+    example = jnp.zeros((1, *shape_loader.sample_points_shape), jnp.float32)
     template = pipeline.graph.init_state(jax.random.PRNGKey(0), example)
     ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
 

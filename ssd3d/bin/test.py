@@ -1,4 +1,7 @@
-"""One-shot inference + KITTI-format prediction dump (reference lib/core/tester.py).
+"""One-shot inference + prediction dump (reference lib/core/tester.py).
+
+KITTI configs write per-scan result txts; nuScenes configs write one
+submission-style JSON (eval/nuscenes_predictions.py).
 
     python -m ssd3d.bin.test --cfg <yaml> --log_dir runs/3dssd \
         [--split val] [--cls_threshold 0.3]
@@ -11,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ssd3d.config import load_cfg
+from ssd3d.data import build_loader
 from ssd3d.data.kitti_io import KittiScene
-from ssd3d.data.loader import KittiLoader
 from ssd3d.eval.predictions import run_inference_on_split
 from ssd3d.models.api import build_pipeline
 from ssd3d.train.trainer import CheckpointManager
@@ -30,16 +33,28 @@ def main():
     cfg = load_cfg(args.cfg, args.opts)
 
     pipeline = build_pipeline(cfg)
-    example = jnp.zeros((1, cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32)
+    loader = build_loader(cfg, args.split, training=False)
+    example = jnp.zeros((1, *loader.sample_points_shape), jnp.float32)
     template = pipeline.graph.init_state(jax.random.PRNGKey(0), example)
     ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
     state, step = ckpt.restore(template)
     assert state is not None, f"no checkpoint under {args.log_dir}/ckpt"
     print(f"restored step {step}")
 
-    loader = KittiLoader(cfg, args.split, training=False)
-    scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if cfg.DATASET.TYPE.upper() == "NUSCENES":
+        from ssd3d.eval import nuscenes_predictions as nusc
+
+        save_path = os.path.join(args.log_dir, "nuscenes_result.json")
+        nusc.run_inference_on_split(
+            cfg, pipeline.infer, pipeline.cls_list, variables, loader,
+            cls_thresh=args.cls_threshold, save_path=save_path,
+            limit=args.limit,
+        )
+        print(f"predictions saved to {save_path}")
+        return
+
+    scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
     save_dir = os.path.join(args.log_dir, "kitti_result")
     run_inference_on_split(
         cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,

@@ -151,6 +151,11 @@ class KittiLoader:
     def __len__(self):
         return len(self.names)
 
+    @property
+    def sample_points_shape(self) -> tuple:
+        """(points per scan, feature channels) of emitted batches."""
+        return (self.points_num, 4)
+
     def load_sample(self, index: int, epoch_seed: int = 0) -> dict:
         """Deterministic function of (epoch_seed, index)."""
         name = self.names[index]

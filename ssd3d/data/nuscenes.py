@@ -159,10 +159,20 @@ class NuScenesLoader:
         self.seed = seed
         self.budget = ncfg.MAX_CUR_SAMPLE_POINTS_NUM
         self.feature_channels = ncfg.INPUT_FEATURE_CHANNEL
-        self.data_dir = data_dir or os.path.join("data/NuScenes", split)
+        self.data_dir = data_dir or os.path.join(ncfg.SAVE_NUMPY_PATH, split)
         with open(os.path.join(self.data_dir, "list.txt")) as f:
             self.names = [line.strip() for line in f if line.strip()]
         self.cls2idx = {c: i + 1 for i, c in enumerate(ncfg.CLS_LIST)}
+        # no host augmentation chain on the nuScenes path (the reference's
+        # nuScenes training never ran — SURVEY §2.9; the 10-sweep aggregate
+        # plus voxel-budget resampling is already stochastic). The attribute
+        # exists for the runtimes' loader interface.
+        self.augmentor = None
+
+    @property
+    def sample_points_shape(self) -> tuple:
+        """(points per scan, feature channels) of emitted batches."""
+        return (self.budget, self.feature_channels)
 
     def __len__(self):
         return len(self.names)
@@ -222,29 +232,71 @@ class NuScenesLoader:
             "name": name,
         }
 
+    BATCH_KEYS = ("points", "gt_boxes", "gt_labels", "gt_velocity",
+                  "gt_attribute")
+
     def batches(self, batch_size: int, epochs: int | None = None,
-                shuffle: bool | None = None):
+                shuffle: bool | None = None, num_threads: int = 0,
+                num_procs: int = 0):
+        """Deterministic (epoch, index)-pure batch stream.
+
+        num_threads > 0 overlaps sample loading (npz IO + voxel budgeting)
+        with consumption via a bounded thread pool; num_procs is accepted
+        for interface parity with KittiLoader (the nuScenes path has no
+        host augmentation chain, so threads release the GIL in IO and
+        suffice)."""
         shuffle = self.training if shuffle is None else shuffle
         n = len(self.names)
-        epoch = 0
-        while epochs is None or epoch < epochs:
-            order = (
-                np.random.default_rng(
-                    np.random.SeedSequence([self.seed, epoch])
-                ).permutation(n)
-                if shuffle else np.arange(n)
-            )
-            for start in range(0, n - batch_size + 1, batch_size):
-                samples = [
-                    self.load_sample(int(i), epoch)
-                    for i in order[start:start + batch_size]
-                ]
-                keys = ("points", "gt_boxes", "gt_labels", "gt_velocity",
-                        "gt_attribute")
-                batch = {k: np.stack([s[k] for s in samples]) for k in keys}
-                batch["names"] = [s["name"] for s in samples]
-                yield batch
-            epoch += 1
+
+        def index_stream():
+            epoch = 0
+            while epochs is None or epoch < epochs:
+                order = (
+                    np.random.default_rng(
+                        np.random.SeedSequence([self.seed, epoch])
+                    ).permutation(n)
+                    if shuffle else np.arange(n)
+                )
+                for start in range(0, n - batch_size + 1, batch_size):
+                    yield [(int(i), epoch)
+                           for i in order[start:start + batch_size]]
+                epoch += 1
+
+        def assemble(samples):
+            batch = {k: np.stack([s[k] for s in samples])
+                     for k in self.BATCH_KEYS}
+            batch["names"] = [s["name"] for s in samples]
+            return batch
+
+        if num_threads and num_threads > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_threads) as pool:
+                pending: queue.Queue = queue.Queue()
+                stream = index_stream()
+                depth = 2  # batches in flight
+                try:
+                    for _ in range(depth):
+                        idxs = next(stream, None)
+                        if idxs is None:
+                            break
+                        pending.put([pool.submit(self.load_sample, i, e)
+                                     for i, e in idxs])
+                    while not pending.empty():
+                        futs = pending.get()
+                        idxs = next(stream, None)
+                        if idxs is not None:
+                            pending.put([pool.submit(self.load_sample, i, e)
+                                         for i, e in idxs])
+                        yield assemble([f.result() for f in futs])
+                finally:
+                    while not pending.empty():
+                        for f in pending.get():
+                            f.cancel()
+            return
+
+        for idxs in index_stream():
+            yield assemble([self.load_sample(i, e) for i, e in idxs])
 
 
 # ---------------------------------------------------------------------------

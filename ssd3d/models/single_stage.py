@@ -145,9 +145,25 @@ class DetectorSpec:
         if self.has_iou_head:
             score = score * outputs["iou"]
         bev = boxes_to_bev_aabb(boxes)
-        return batched_class_nms(
+        det = batched_class_nms(
             boxes, bev, score, self.max_output, self.nms_threshold
         )
+        # nuScenes velocity/attribute heads: gather the per-point auxiliary
+        # predictions for the kept detections (reference intent,
+        # single_stage_detector.py:195-227 — its nuScenes branch never ran).
+        # Heads emit [bs, n, reg_base, C]; pick the detection's source point
+        # and its class's regression slot.
+        for key in ("velocity", "attribute"):
+            if key in outputs:
+                arr = outputs[key]
+                by_point = jnp.take_along_axis(
+                    arr, det["index"][:, :, None, None], axis=1
+                )  # [bs, k, reg_base, C]
+                slot = jnp.minimum(det["classes"], arr.shape[2] - 1)
+                det[key] = jnp.take_along_axis(
+                    by_point, slot[:, :, None, None], axis=2
+                )[:, :, 0, :]
+        return det
 
 
 def build_detector(cfg, stage: str = "FIRST_STAGE", axis_name: str | None = None):

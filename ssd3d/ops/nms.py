@@ -206,12 +206,15 @@ def batched_class_nms(
        scores [b, cls * max_output]
        classes int32 [b, cls * max_output] (0-based class id)
        valid  bool [b, cls * max_output]
+       index  int32 [b, cls * max_output] (source point/proposal index —
+              lets callers gather auxiliary per-point predictions such as
+              the nuScenes velocity/attribute heads for the kept boxes)
     """
     b, n, cls_num = scores.shape
     reg_cls = boxes_3d.shape[2]
 
     def per_elem(bx3d, bxbev, sc):
-        outs_b, outs_s, outs_c, outs_v = [], [], [], []
+        outs_b, outs_s, outs_c, outs_v, outs_i = [], [], [], [], []
         for c in range(cls_num):
             reg_i = min(c, reg_cls - 1)
             idx, valid = nms_bev(bxbev[:, reg_i], sc[:, c], max_output, iou_threshold)
@@ -219,12 +222,15 @@ def batched_class_nms(
             outs_s.append(jnp.where(valid, sc[:, c][idx], -1.0))
             outs_c.append(jnp.full((max_output,), c, jnp.int32))
             outs_v.append(valid)
+            outs_i.append(idx.astype(jnp.int32))
         return (
             jnp.concatenate(outs_b, axis=0),
             jnp.concatenate(outs_s, axis=0),
             jnp.concatenate(outs_c, axis=0),
             jnp.concatenate(outs_v, axis=0),
+            jnp.concatenate(outs_i, axis=0),
         )
 
-    boxes, sc, cat, valid = jax.vmap(per_elem)(boxes_3d, bev_boxes, scores)
-    return {"boxes": boxes, "scores": sc, "classes": cat, "valid": valid}
+    boxes, sc, cat, valid, idx = jax.vmap(per_elem)(boxes_3d, bev_boxes, scores)
+    return {"boxes": boxes, "scores": sc, "classes": cat, "valid": valid,
+            "index": idx}

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssd3d.data.loader import KittiLoader
+from ssd3d.data import build_loader
 from ssd3d.models.api import build_pipeline
 from ssd3d.parallel import batch_sharding, make_mesh, replicated
 from ssd3d.train.train_step import TrainState
@@ -76,7 +76,7 @@ class Trainer:
         self.pipeline = build_pipeline(cfg, nms_pre_topk=cfg.TPU.NMS_PRE_TOPK or 2048)
         self.model = self.pipeline.model
         self.graph = self.pipeline.graph
-        self.loader = KittiLoader(
+        self.loader = build_loader(
             cfg, split, training=True, seed=seed,
             device_aug=cfg.TPU.DEVICE_AUGMENT,
         )
@@ -97,7 +97,10 @@ class Trainer:
         self.seed = seed
 
         batch_keys = ["points", "gt_boxes", "gt_labels"]
-        if cfg.TPU.DEVICE_AUGMENT and cfg.TRAIN.AUGMENTATIONS.OPEN:
+        if cfg.DATASET.TYPE.upper() == "NUSCENES":
+            batch_keys += ["gt_velocity", "gt_attribute"]
+        if (cfg.TPU.DEVICE_AUGMENT and cfg.TRAIN.AUGMENTATIONS.OPEN
+                and cfg.DATASET.TYPE.upper() == "KITTI"):
             batch_keys += ["plane"]
             if cfg.TRAIN.AUGMENTATIONS.MIXUP.OPEN:
                 batch_keys += ["cand_points", "cand_boxes", "cand_labels",
@@ -124,7 +127,7 @@ class Trainer:
 
     def init_or_restore(self) -> TrainState:
         example = jnp.zeros(
-            (1, self.cfg.MODEL.POINTS_NUM_FOR_TRAINING, 4), jnp.float32
+            (1, *self.loader.sample_points_shape), jnp.float32
         )
         state = self.graph.init_state(jax.random.PRNGKey(self.seed), example)
         state = jax.device_put(state, self.rep)

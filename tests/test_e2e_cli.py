@@ -84,3 +84,68 @@ def test_cli_preprocess_train_evaluate(tmp_path):
     assert final["total"] > 0  # GT present on the val split
     assert np.isfinite(final["recall"])
     assert os.path.exists(os.path.join(run_dir, "best.json"))
+
+
+@pytest.mark.slow
+def test_cli_nuscenes_preprocess_train_evaluate(tmp_path):
+    """The nuScenes CLI chain: raw-table conversion via bin.preprocess
+    (devkit-free), training with velocity/attribute losses, NDS-selected
+    evaluation — the system-level check of the rebuilt nuScenes path (the
+    reference's never ran, SURVEY §2.9)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from synth_nuscenes import write_tree
+
+    raw_root = str(tmp_path / "raw")
+    npz_root = str(tmp_path / "npz")
+    run_dir = str(tmp_path / "run")
+    write_tree(raw_root, n_scenes=5, samples_per_scene=3, n_points=2200,
+               seed=1)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only child interpreters
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    cfg = "configs/nuscenes/3dssd/3dssd_tiny.yaml"
+    opts = [
+        "DATASET.NUSCENES.BASE_DIR_PATH", raw_root,
+        "DATASET.NUSCENES.SAVE_NUMPY_PATH", npz_root,
+        "TRAIN.CONFIG.BATCH_SIZE", "2",
+        "TRAIN.CONFIG.MAX_ITERATIONS", "40",
+        "TRAIN.CONFIG.CHECKPOINT_INTERVAL", "40",
+    ]
+
+    _run_cli("ssd3d.bin.preprocess", ["--cfg", cfg, "--img_list", "train"]
+             + opts, env)
+    # one conversion pass writes both splits (scene 1 -> val by the
+    # every-5th rule)
+    assert os.path.exists(os.path.join(npz_root, "train", "list.txt"))
+    assert os.path.exists(os.path.join(npz_root, "val", "list.txt"))
+
+    _run_cli("ssd3d.bin.train", ["--cfg", cfg, "--log_dir", run_dir] + opts,
+             env)
+    metrics = [json.loads(l)
+               for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert metrics and all(np.isfinite(m["total"]) for m in metrics)
+    # the nuScenes-only loss terms are live
+    assert {"velocity", "attribute"} <= set(metrics[0])
+
+    _run_cli("ssd3d.bin.evaluate",
+             ["--cfg", cfg, "--log_dir", run_dir, "--once",
+              "--cls_threshold", "0.01"] + opts, env)
+    final = json.load(open(os.path.join(run_dir, "eval_40.json")))
+    assert np.isfinite(final["NDS"]) and np.isfinite(final["mAP"])
+    assert set(final["per_class"]) == {"car", "pedestrian", "traffic_cone",
+                                       "barrier"}
+    assert os.path.exists(os.path.join(run_dir, "best.json"))
+
+    # tester: submission-style JSON dump
+    _run_cli("ssd3d.bin.test",
+             ["--cfg", cfg, "--log_dir", run_dir, "--cls_threshold", "0.01"]
+             + opts, env)
+    dump = json.load(open(os.path.join(run_dir, "nuscenes_result.json")))
+    assert dump["results"], "empty submission dump"
+    rec = next(iter(dump["results"].values()))
+    if rec:
+        assert {"translation_cam", "detection_name", "detection_score",
+                "velocity_cam", "attribute_id"} <= set(rec[0])

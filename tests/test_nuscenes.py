@@ -146,7 +146,17 @@ def test_nuscenes_loader_and_model(nusc_env):
     assert out["velocity"].shape[-1] == 2
     assert out["attribute"].shape[-1] == 8
     det = spec.decode_and_nms(out)
-    assert det["boxes"].shape == (2, cfg.MODEL.FIRST_STAGE.MAX_OUTPUT_NUM * 10, 7)
+    k = cfg.MODEL.FIRST_STAGE.MAX_OUTPUT_NUM * 10
+    assert det["boxes"].shape == (2, k, 7)
+    # auxiliary heads ride through NMS via the source-point index
+    assert det["velocity"].shape == (2, k, 2)
+    assert det["attribute"].shape == (2, k, 8)
+    np.testing.assert_array_equal(
+        np.asarray(det["velocity"]),
+        np.asarray(out["velocity"])[
+            np.arange(2)[:, None], np.asarray(det["index"]), 0
+        ],
+    )
 
 
 def _mkbox(cls, x, z, ry=0.0, vel=(0, 0), attr=0, score=-1.0):
