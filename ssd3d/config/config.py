@@ -290,6 +290,10 @@ def get_default_cfg() -> Config:
         DEVICE_AUGMENT=False,  # run the augmentation chain inside the train step
         DONATE_TRAIN_STATE=True,
         REMAT_SA_LAYERS=False,
+        # dp: state replicated, batch sharded. fsdp: additionally shard
+        # params + optimizer moments across the data axis (ZeRO-3 via
+        # GSPMD; see parallel/mesh.py fsdp_shardings)
+        PARALLEL_MODE="dp",
     )
     return c
 

@@ -106,10 +106,28 @@ class Trainer:
                 batch_keys += ["cand_points", "cand_boxes", "cand_labels",
                                "cand_valid"]
         self.batch_keys = tuple(batch_keys)
+        # state shardings depend on PARALLEL_MODE: 'dp' replicates, 'fsdp'
+        # shards params + optimizer moments across the data axis (the
+        # sharding tree needs the state structure, so the step is jitted
+        # once the state exists — see init_or_restore)
+        self.parallel_mode = cfg.TPU.PARALLEL_MODE
+        self.state_sh = self.rep
+        self.step_fn = None
+
+    def _build_step_fn(self, state):
+        if self.parallel_mode == "fsdp":
+            from ssd3d.parallel import fsdp_shardings
+
+            self.state_sh = fsdp_shardings(state, self.mesh)
+        elif self.parallel_mode != "dp":
+            raise ValueError(
+                f"unknown TPU.PARALLEL_MODE {self.parallel_mode!r}"
+            )
         self.step_fn = jax.jit(
             self.graph.train_step,
-            in_shardings=(self.rep, {k: self.bsh for k in batch_keys}, self.rep),
-            out_shardings=(self.rep, self.rep),
+            in_shardings=(self.state_sh,
+                          {k: self.bsh for k in self.batch_keys}, self.rep),
+            out_shardings=(self.state_sh, self.rep),
             donate_argnums=(0,),
         )
 
@@ -130,11 +148,12 @@ class Trainer:
             (1, *self.loader.sample_points_shape), jnp.float32
         )
         state = self.graph.init_state(jax.random.PRNGKey(self.seed), example)
-        state = jax.device_put(state, self.rep)
+        self._build_step_fn(state)
+        state = jax.device_put(state, self.state_sh)
         restored, step = self.ckpt.restore(state)
         if restored is not None:
             self.log(f"restored checkpoint at step {step}")
-            return jax.device_put(restored, self.rep)
+            return jax.device_put(restored, self.state_sh)
         return state
 
     def train(self, max_iterations: int | None = None):

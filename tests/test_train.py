@@ -306,6 +306,50 @@ def test_train_step_sharded_multichip(tiny_train):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_train_step_fsdp_matches_dp(tiny_train):
+    """TPU.PARALLEL_MODE 'fsdp': params + optimizer moments sharded across
+    the data axis (ZeRO-3 via GSPMD) produce the same update as the
+    replicated step."""
+    from ssd3d.parallel import fsdp_shardings
+
+    cfg, graph, state, batch = tiny_train
+    mesh = make_mesh(8)
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    batch8 = {
+        k: jax.device_put(jnp.concatenate([v] * 4, axis=0), bsh)
+        for k, v in batch.items()
+    }
+    rng = jax.random.PRNGKey(0)
+
+    step_dp = jax.jit(
+        graph.train_step,
+        in_shardings=((rep, {k: bsh for k in batch8}, rep)),
+        out_shardings=(rep, rep),
+    )
+    st_dp, m_dp = step_dp(jax.device_put(state, rep), batch8, rng)
+
+    state_sh = fsdp_shardings(state, mesh, min_size=1 << 8)
+    assert any(
+        s.spec != jax.sharding.PartitionSpec()
+        for s in jax.tree.leaves(state_sh)
+    ), "no leaf sharded — min_size too high for the tiny model"
+    step_f = jax.jit(
+        graph.train_step,
+        in_shardings=((state_sh, {k: bsh for k in batch8}, rep)),
+        out_shardings=(state_sh, rep),
+    )
+    st_f, m_f = step_f(jax.device_put(state, state_sh), batch8, rng)
+
+    np.testing.assert_allclose(float(m_f["total"]), float(m_dp["total"]),
+                               rtol=1e-5)
+    # updated params numerically identical once gathered
+    p_dp = jax.tree.leaves(jax.device_get(st_dp.params))
+    p_f = jax.tree.leaves(jax.device_get(st_f.params))
+    for a, b in zip(p_dp, p_f):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_train_step_remat_matches(tiny_train):
     """TPU.REMAT_SA_LAYERS recomputes backbone activations in the backward
