@@ -83,21 +83,24 @@ def _clip_by_edge(verts: Array, valid: Array, p0: Array, p1: Array):
     emit_inter = seg_valid & (inside ^ next_inside)
 
     # interleave: slot 2i holds vertex i, slot 2i+1 its crossing point
-    out_pts = jnp.zeros((2 * v, 2), verts.dtype)
-    out_msk = jnp.zeros((2 * v,), bool)
-    out_pts = out_pts.at[0::2].set(verts).at[1::2].set(inter)
-    out_msk = out_msk.at[0::2].set(emit_self).at[1::2].set(emit_inter)
+    # (pure reshape — no strided writes)
+    out_pts = jnp.stack([verts, inter], axis=1).reshape(2 * v, 2)
+    out_msk = jnp.stack([emit_self, emit_inter], axis=1).reshape(2 * v)
 
-    # compact valid entries to the front (stable by construction order)
+    # compact valid entries to the front (stable by construction order).
+    # Scatter-free: under heavy vmap (augmentation jitters 1024 candidate
+    # boxes against 64 GTs per scan) a rank scatter lowers to serialized
+    # multi-million-index TPU scatters (~1 s/step each, measured); the
+    # one-hot matmul form is dense and embarrassingly parallel.
     rank = jnp.cumsum(out_msk.astype(jnp.int32)) - 1
-    comp_pts = jnp.zeros((v, 2), verts.dtype)
-    comp_msk = jnp.zeros((v,), bool)
     write_at = jnp.where(out_msk & (rank < v), rank, v)  # v = dropped
-    comp_pts = jnp.concatenate([comp_pts, jnp.zeros((1, 2), verts.dtype)])
-    comp_msk = jnp.concatenate([comp_msk, jnp.zeros((1,), bool)])
-    comp_pts = comp_pts.at[write_at].set(out_pts)
-    comp_msk = comp_msk.at[write_at].set(out_msk)
-    return comp_pts[:v], comp_msk[:v]
+    oh = jax.nn.one_hot(write_at, v + 1, dtype=verts.dtype)  # [2v, v+1]
+    # HIGHEST keeps the 1.0·coord products bit-exact (TPU default would
+    # round coords through bf16); the matmuls are tiny so it costs nothing.
+    hi = jax.lax.Precision.HIGHEST
+    comp_pts = jnp.matmul(oh.T, out_pts, precision=hi)[:v]
+    comp_msk = jnp.matmul(oh.T, out_msk.astype(verts.dtype), precision=hi)[:v] > 0.5
+    return comp_pts, comp_msk
 
 
 def _pair_bev_overlap(corners_a: Array, corners_b: Array) -> Array:
