@@ -17,10 +17,16 @@ def main():
     ap.add_argument("--split", default="train")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_iterations", type=int, default=None)
+    ap.add_argument("--restore_model_path", default=None,
+                    help="warm-start weights from another run dir (or its "
+                    "ckpt dir): name-intersect transfer restore, as the "
+                    "reference trainer's flag of the same name; used for "
+                    "PointRCNN stage-2 training")
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
     cfg = load_cfg(args.cfg, args.opts)
-    Trainer(cfg, args.log_dir, args.split, args.seed).train(args.max_iterations)
+    Trainer(cfg, args.log_dir, args.split, args.seed,
+            restore_model_path=args.restore_model_path).train(args.max_iterations)
 
 
 if __name__ == "__main__":

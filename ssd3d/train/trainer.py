@@ -53,6 +53,19 @@ class CheckpointManager:
         )
         return restored, step
 
+    def restore_raw(self, step: int | None = None):
+        """Restore as a raw nested dict (no structure template).
+
+        Used for cross-run transfer restore, where the source run's state
+        structure (model variant, optimizer) may differ from this run's."""
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None, None
+        restored = self.mngr.restore(step, args=ocp.args.StandardRestore())
+        return restored, step
+
     def latest_step(self):
         return self.mngr.latest_step()
 
@@ -60,10 +73,46 @@ class CheckpointManager:
         return list(self.mngr.all_steps())
 
 
+def merge_by_name(dst, src, prefix=""):
+    """Copy leaves of `src` into `dst` wherever path AND shape match.
+
+    The reference's transfer restore intersects checkpoint variable names
+    with graph variables and skips everything else (trainer.py:161-174,
+    get_variables_in_checkpoint_file trainer_utils.py:48-54) — this is the
+    pytree equivalent. Returns (merged, copied_paths, skipped_paths);
+    `skipped` lists dst leaves the source did not provide (or provided with
+    a different shape)."""
+    copied, skipped = [], []
+
+    def go(d, s, pre):
+        if not isinstance(d, dict):
+            raise TypeError(f"expected dict at {pre!r}, got {type(d)}")
+        out = {}
+        for k, v in d.items():
+            path = f"{pre}/{k}" if pre else k
+            sv = s.get(k) if isinstance(s, dict) else None
+            if isinstance(v, dict):
+                out[k] = go(v, sv if isinstance(sv, dict) else {}, path)
+            elif (
+                sv is not None
+                and not isinstance(sv, dict)
+                and tuple(np.shape(sv)) == tuple(np.shape(v))
+            ):
+                out[k] = jnp.asarray(sv, jnp.asarray(v).dtype)
+                copied.append(path)
+            else:
+                out[k] = v
+                skipped.append(path)
+        return out
+
+    return go(dst, src, prefix), copied, skipped
+
+
 class Trainer:
     """End-to-end KITTI training (the reference trainer.py CLI body)."""
 
-    def __init__(self, cfg, log_dir: str, split: str = "train", seed: int = 0):
+    def __init__(self, cfg, log_dir: str, split: str = "train", seed: int = 0,
+                 restore_model_path: str | None = None):
         self.cfg = cfg
         self.log_dir = os.path.abspath(log_dir)
         os.makedirs(self.log_dir, exist_ok=True)
@@ -94,6 +143,7 @@ class Trainer:
             os.path.join(self.log_dir, "ckpt"),
             cfg.TRAIN.CONFIG.MAX_CHECKPOINTS_TO_KEEP,
         )
+        self.restore_model_path = restore_model_path
         self.seed = seed
 
         batch_keys = ["points", "gt_boxes", "gt_labels"]
@@ -154,7 +204,40 @@ class Trainer:
         if restored is not None:
             self.log(f"restored checkpoint at step {step}")
             return jax.device_put(restored, self.state_sh)
+        if self.restore_model_path:
+            state = self._warm_start(state, self.restore_model_path)
+            state = jax.device_put(state, self.state_sh)
         return state
+
+    def _warm_start(self, state: TrainState, path: str) -> TrainState:
+        """Transfer restore from another run (reference --restore_model_path,
+        trainer.py:161-174): copy params/batch_stats whose names and shapes
+        intersect, keep fresh step and optimizer state. Used for PointRCNN
+        stage-wise training (stage-2 starts from stage-1 weights,
+        tiny_pointrcnn_stage2.yaml:26-27 in the reference)."""
+        ckpt_dir = path
+        if not os.path.isdir(ckpt_dir):
+            raise FileNotFoundError(f"restore_model_path {path!r} not found")
+        # accept either a run dir (with a ckpt/ subdir) or the ckpt dir itself
+        if os.path.isdir(os.path.join(path, "ckpt")):
+            ckpt_dir = os.path.join(path, "ckpt")
+        raw, step = CheckpointManager(ckpt_dir, max_to_keep=1).restore_raw()
+        if raw is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir!r}")
+        params, copied_p, skipped_p = merge_by_name(
+            state.params, raw.get("params", {})
+        )
+        stats, copied_s, skipped_s = merge_by_name(
+            state.batch_stats, raw.get("batch_stats", {})
+        )
+        skipped = skipped_p + skipped_s
+        self.log(
+            f"warm start from {ckpt_dir} (step {step}): "
+            f"{len(copied_p) + len(copied_s)} tensors restored, "
+            f"{len(skipped)} left at init"
+            + (f" (e.g. {skipped[0]})" if skipped else "")
+        )
+        return state.replace(params=params, batch_stats=stats)
 
     def train(self, max_iterations: int | None = None):
         cfg = self.cfg.TRAIN.CONFIG

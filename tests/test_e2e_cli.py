@@ -15,6 +15,7 @@ import os
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -149,3 +150,73 @@ def test_cli_nuscenes_preprocess_train_evaluate(tmp_path):
     if rec:
         assert {"translation_cam", "detection_name", "detection_score",
                 "velocity_cam", "attribute_id"} <= set(rec[0])
+
+
+@pytest.mark.slow
+def test_cli_pointrcnn_stagewise(tmp_path):
+    """The stage-wise PointRCNN chain on the real CLIs: train stage-1
+    (RPN-only), train stage-2 warm-started from it via --restore_model_path
+    with the RPN frozen (TRAIN_PARAM_PREFIX), then evaluate the refined
+    detector. Asserts the two load-bearing weight-flow facts: stage-2's RPN
+    parameters are EXACTLY stage-1's final ones (warm start worked AND the
+    freeze held), while the RCNN head moved."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from synth_kitti import write_tree
+
+    data_root = str(tmp_path / "kitti")
+    npz_root = str(tmp_path / "npz")
+    run1 = str(tmp_path / "run_stage1")
+    run2 = str(tmp_path / "run_stage2")
+    write_tree(data_root, n_train=6, n_val=3, n_points=2600, seed=5, k_max=3)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only child interpreters
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    cfg1 = "configs/kitti/pointrcnn/pointrcnn_tiny_stage1.yaml"
+    cfg2 = "configs/kitti/pointrcnn/pointrcnn_tiny_stage2.yaml"
+    opts = [
+        "DATASET.KITTI.BASE_DIR_PATH", data_root,
+        "DATASET.KITTI.TRAIN_LIST", os.path.join(data_root, "train.txt"),
+        "DATASET.KITTI.VAL_LIST", os.path.join(data_root, "val.txt"),
+        "DATASET.KITTI.SAVE_NUMPY_PATH", npz_root,
+        "TRAIN.CONFIG.BATCH_SIZE", "2",
+        "TRAIN.CONFIG.MAX_ITERATIONS", "30",
+        "TRAIN.CONFIG.CHECKPOINT_INTERVAL", "30",
+        "TRAIN.AUGMENTATIONS.MIXUP.NUMBER", "(3, )",
+        "TEST.TEST_MODE", "Recall",
+    ]
+
+    _run_cli("ssd3d.bin.preprocess", ["--cfg", cfg1, "--img_list", "train"]
+             + opts, env)
+    _run_cli("ssd3d.bin.preprocess", ["--cfg", cfg1, "--img_list", "val"]
+             + opts, env)
+    _run_cli("ssd3d.bin.train", ["--cfg", cfg1, "--log_dir", run1] + opts, env)
+    _run_cli("ssd3d.bin.train", ["--cfg", cfg2, "--log_dir", run2,
+                                 "--restore_model_path", run1] + opts, env)
+    log2 = open(os.path.join(run2, "log_train.txt")).read()
+    assert "warm start from" in log2
+
+    from ssd3d.train.trainer import CheckpointManager
+    raw1, _ = CheckpointManager(os.path.join(run1, "ckpt")).restore_raw()
+    raw2, _ = CheckpointManager(os.path.join(run2, "ckpt")).restore_raw()
+    leaves1 = jax.tree_util.tree_flatten_with_path(raw1["params"])[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(raw2["params"])[0])
+    rpn = [p for p, _ in leaves1 if "rpn" in jax.tree_util.keystr(p)]
+    rcnn = [p for p, _ in leaves1 if "rcnn" in jax.tree_util.keystr(p)]
+    assert rpn and rcnn
+    for p, v1 in leaves1:
+        name = jax.tree_util.keystr(p)
+        if "rpn" in name:  # warm-started then frozen: bit-identical
+            np.testing.assert_array_equal(v1, flat2[p], err_msg=name)
+    assert any(
+        np.abs(np.asarray(v1) - np.asarray(flat2[p])).max() > 1e-6
+        for p, v1 in leaves1 if "rcnn" in jax.tree_util.keystr(p)
+    ), "no rcnn parameter moved during stage-2 training"
+
+    _run_cli("ssd3d.bin.evaluate",
+             ["--cfg", cfg2, "--log_dir", run2, "--once",
+              "--cls_threshold", "0.01"] + opts, env)
+    final = json.load(open(os.path.join(run2, "eval_30.json")))
+    assert final["total"] > 0 and np.isfinite(final["recall"])

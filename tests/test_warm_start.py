@@ -1,0 +1,55 @@
+"""Transfer restore (reference --restore_model_path, trainer.py:161-174):
+name-intersect merge of a source checkpoint into a differently-structured
+target state. The stage-wise PointRCNN chain on the real CLIs is covered by
+tests/test_e2e_cli.py::test_cli_pointrcnn_stagewise."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ssd3d.train.train_step import TrainState
+from ssd3d.train.trainer import CheckpointManager, merge_by_name
+
+
+def test_merge_by_name_intersects_paths_and_shapes():
+    dst = {
+        "rpn": {"w": jnp.zeros((3, 2)), "b": jnp.zeros((2,))},
+        "rcnn": {"w": jnp.zeros((4, 4))},
+        "extra": {"v": jnp.zeros((5,))},
+    }
+    src = {
+        "rpn": {"w": np.ones((3, 2)), "b": np.ones((7,))},  # b: shape mismatch
+        "rcnn": {"w": np.full((4, 4), 2.0)},
+        "stale": {"q": np.ones((1,))},  # not in dst: ignored
+    }
+    merged, copied, skipped = merge_by_name(dst, src)
+    assert sorted(copied) == ["rcnn/w", "rpn/w"]
+    assert sorted(skipped) == ["extra/v", "rpn/b"]
+    np.testing.assert_array_equal(merged["rpn"]["w"], 1.0)
+    np.testing.assert_array_equal(merged["rcnn"]["w"], 2.0)
+    np.testing.assert_array_equal(merged["rpn"]["b"], 0.0)  # left at init
+    np.testing.assert_array_equal(merged["extra"]["v"], 0.0)
+    # dtype follows the destination leaf
+    assert merged["rpn"]["w"].dtype == jnp.zeros((3, 2)).dtype
+
+
+def test_restore_raw_across_structures(tmp_path):
+    """A checkpoint written for one state structure restores raw and merges
+    into a target whose tree differs (extra head, different optimizer)."""
+    src_state = TrainState(
+        step=jnp.asarray(100, jnp.int32),
+        params={"rpn": {"w": jnp.full((2, 2), 3.0)}},
+        batch_stats={"rpn": {"mean": jnp.full((2,), 0.5)}},
+        opt_state={"mu": {"rpn": {"w": jnp.ones((2, 2))}}},
+    )
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    ckpt.save(100, src_state)
+
+    raw, step = ckpt.restore_raw()
+    assert step == 100
+    dst_params = {
+        "rpn": {"w": jnp.zeros((2, 2))},
+        "rcnn_head": {"w": jnp.zeros((3,))},  # absent from the source
+    }
+    merged, copied, skipped = merge_by_name(dst_params, raw["params"])
+    assert copied == ["rpn/w"] and skipped == ["rcnn_head/w"]
+    np.testing.assert_array_equal(merged["rpn"]["w"], 3.0)

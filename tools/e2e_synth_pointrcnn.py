@@ -1,0 +1,149 @@
+"""End-to-end system proof for the STAGE-WISE PointRCNN chain on the
+real CLIs over a synthetic on-disk KITTI tree:
+
+    generate tree -> ssd3d.bin.preprocess (train + val)
+                  -> ssd3d.bin.train  stage-1 (RPN only, ONLY_FIRST_STAGE)
+                  -> ssd3d.bin.train  stage-2 --restore_model_path <stage-1>
+                                      (RPN frozen via TRAIN_PARAM_PREFIX)
+                  -> ssd3d.bin.evaluate --once over the stage-2 run
+                  -> AP summary json
+
+This mirrors the reference's two-step recipe (README.md:62-74: train
+pointrcnn.yaml, then pointrcnn_2.yaml with `--restore_model_path`) the
+way tools/e2e_synth.py mirrors the single-stage recipe.
+
+Usage:
+    python tools/e2e_synth_pointrcnn.py --workdir /tmp/e2e_prcnn --iters 2000
+    python tools/e2e_synth_pointrcnn.py --workdir /tmp/e2e_prcnn_q --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+from tools.e2e_synth import run  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--iters", type=int, default=2000,
+                    help="per-stage iteration count")
+    ap.add_argument("--train_scans", type=int, default=48)
+    ap.add_argument("--val_scans", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny configs + CPU-sized scans (CI smoke)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--out_json", default=None)
+    ap.add_argument("--cls_threshold", type=float, default=0.05)
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional KEY VALUE config overrides")
+    args = ap.parse_args()
+
+    wd = os.path.abspath(args.workdir)
+    os.makedirs(wd, exist_ok=True)
+    data_root = os.path.join(wd, "kitti")
+    npz_root = os.path.join(wd, "npz")
+    run1_dir = os.path.join(wd, "run_stage1")
+    run2_dir = os.path.join(wd, "run_stage2")
+
+    if args.quick:
+        cfg1 = "configs/kitti/pointrcnn/pointrcnn_tiny_stage1.yaml"
+        cfg2 = "configs/kitti/pointrcnn/pointrcnn_tiny_stage2.yaml"
+        n_points = 3000
+        args.train_scans = min(args.train_scans, 8)
+        args.val_scans = min(args.val_scans, 4)
+        args.iters = min(args.iters, 300)
+        ckpt_interval = max(args.iters // 3, 1)
+        args.batch = 2
+    else:
+        cfg1 = "configs/kitti/pointrcnn/pointrcnn_stage1.yaml"
+        cfg2 = "configs/kitti/pointrcnn/pointrcnn_stage2.yaml"
+        n_points = 20000
+        ckpt_interval = max(args.iters // 4, 1)
+
+    env = dict(os.environ)
+    if args.cpu or args.quick:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+
+    if not os.path.exists(os.path.join(data_root, "train.txt")):
+        from tools.synth_kitti import write_tree
+
+        print(f"generating {args.train_scans}+{args.val_scans} synthetic "
+              f"scans under {data_root}", flush=True)
+        write_tree(data_root, args.train_scans, args.val_scans, n_points)
+
+    opts = [
+        "DATASET.KITTI.BASE_DIR_PATH", data_root,
+        "DATASET.KITTI.TRAIN_LIST", os.path.join(data_root, "train.txt"),
+        "DATASET.KITTI.VAL_LIST", os.path.join(data_root, "val.txt"),
+        "DATASET.KITTI.SAVE_NUMPY_PATH", npz_root,
+        "TRAIN.CONFIG.BATCH_SIZE", str(args.batch),
+        "TRAIN.CONFIG.MAX_ITERATIONS", str(args.iters),
+        "TRAIN.CONFIG.CHECKPOINT_INTERVAL", str(ckpt_interval),
+        "TRAIN.AUGMENTATIONS.MIXUP.NUMBER", "(4, )",
+    ] + list(args.extra)
+    py = [sys.executable, "-m"]
+
+    if not os.path.exists(os.path.join(npz_root, "train", "list.txt")):
+        run(py + ["ssd3d.bin.preprocess", "--cfg", cfg1,
+                  "--img_list", "train"] + opts,
+            os.path.join(wd, "preprocess_train.log"), env)
+    if not os.path.exists(os.path.join(npz_root, "val", "list.txt")):
+        run(py + ["ssd3d.bin.preprocess", "--cfg", cfg1,
+                  "--img_list", "val"] + opts,
+            os.path.join(wd, "preprocess_val.log"), env)
+
+    run(py + ["ssd3d.bin.train", "--cfg", cfg1, "--log_dir", run1_dir]
+        + opts, os.path.join(wd, "train_stage1.log"), env)
+
+    run(py + ["ssd3d.bin.train", "--cfg", cfg2, "--log_dir", run2_dir,
+              "--restore_model_path", run1_dir] + opts,
+        os.path.join(wd, "train_stage2.log"), env)
+
+    run(py + ["ssd3d.bin.evaluate", "--cfg", cfg2, "--log_dir", run2_dir,
+              "--once", "--cls_threshold", str(args.cls_threshold)] + opts,
+        os.path.join(wd, "evaluate.log"), env)
+
+    evals = {}
+    for f in sorted(os.listdir(run2_dir)):
+        if f.startswith("eval_") and f.endswith(".json"):
+            evals[int(f[5:-5])] = json.load(open(os.path.join(run2_dir, f)))
+    best = None
+    best_path = os.path.join(run2_dir, "best.json")
+    if os.path.exists(best_path):
+        best = json.load(open(best_path))
+    warm = ""
+    log2 = os.path.join(run2_dir, "log_train.txt")
+    if os.path.exists(log2):
+        warm = next((ln.strip() for ln in open(log2)
+                     if "warm start from" in ln), "")
+    summary = {
+        "configs": [cfg1, cfg2],
+        "iters_per_stage": args.iters,
+        "train_scans": args.train_scans,
+        "val_scans": args.val_scans,
+        "backend": "cpu" if (args.cpu or args.quick) else
+                   env.get("JAX_PLATFORMS", "default"),
+        "warm_start": warm,
+        "ap_by_step": {
+            str(s): e.get("Car", {}).get("3d") for s, e in evals.items()
+        },
+        "best": best,
+    }
+    out_json = args.out_json or os.path.join(wd, "ap_summary.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
