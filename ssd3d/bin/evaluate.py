@@ -71,6 +71,11 @@ def main():
     ap.add_argument("--eval_interval_secs", type=int, default=300)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--restore_model_path", default=None,
+                    help="evaluate exactly this checkpoint once (run dir, "
+                    "ckpt dir, or a single step dir such as best_ckpt) "
+                    "instead of polling --log_dir/ckpt — the reference "
+                    "evaluator's required flag (evaluator.py:21)")
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
     cfg = load_cfg(args.cfg, args.opts)
@@ -79,6 +84,24 @@ def main():
     shape_loader = build_loader(cfg, args.split, training=False)
     example = jnp.zeros((1, *shape_loader.sample_points_shape), jnp.float32)
     template = pipeline.graph.init_state(jax.random.PRNGKey(0), example)
+
+    if args.restore_model_path:
+        from ssd3d.train.trainer import restore_from_path
+
+        state, step = restore_from_path(args.restore_model_path, template)
+        assert state is not None, \
+            f"no checkpoint under {args.restore_model_path!r}"
+        print(f"evaluating checkpoint {step} from {args.restore_model_path}")
+        results, metric = evaluate_checkpoint(
+            cfg, pipeline, state, args.split,
+            args.cls_threshold, args.limit,
+        )
+        print(f"ckpt {step}: selection metric {metric:.2f}")
+        tag = step if step is not None else "restored"
+        with open(os.path.join(args.log_dir, f"eval_{tag}.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        return
+
     ckpt = CheckpointManager(os.path.join(args.log_dir, "ckpt"))
 
     best_metric, best_step = -1.0, None

@@ -101,7 +101,8 @@ def save_kitti_predictions(path: str, boxes_3d, scores, classes, cls_list,
 
 def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                            cls_thresh=0.3, save_dir=None, log=print,
-                           limit=None, use_true_image_size=False):
+                           limit=None, use_true_image_size=False,
+                           with_gt=True):
     """Run `infer_fn(variables, points) -> det dict` over a (val) split:
     per-scan detections; optionally dumps KITTI txts.
     Returns (det_per_image, gt_per_image, names).
@@ -138,7 +139,10 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                 boxes, scores, classes, list(cls_list), P2, img_shape
             )
         )
-        gt_per_image.append(labels_to_eval_objects(scene.labels(name)))
+        # test-set mode (reference --no_gt, tester.py:27): no label files
+        gt_per_image.append(
+            labels_to_eval_objects(scene.labels(name)) if with_gt else []
+        )
         names.append(name)
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)

@@ -73,6 +73,49 @@ class CheckpointManager:
         return list(self.mngr.all_steps())
 
 
+def restore_from_path(path: str, template=None, step: int | None = None):
+    """Restore a checkpoint from any path shape users pass as
+    `--restore_model_path` (the reference evaluator/tester/trainer CLIs,
+    evaluator.py:21 / tester.py:21 / trainer.py:27): a run dir (containing
+    ckpt/), an orbax manager dir (numeric step subdirs), or a single copied
+    step dir (e.g. the evaluator's best_ckpt). With `template=None` the raw
+    nested dict comes back; with a state template, the typed state.
+    Returns (state_or_raw, step)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"restore_model_path {path!r} not found")
+    if os.path.isdir(os.path.join(path, "ckpt")):
+        path = os.path.join(path, "ckpt")
+    if any(d.isdigit() for d in os.listdir(path)):
+        mngr = CheckpointManager(path)
+        if template is not None:
+            return mngr.restore(template, step)
+        return mngr.restore_raw(step)
+    if not os.path.isdir(os.path.join(path, "default")):
+        raise FileNotFoundError(
+            f"{path!r} is neither a run dir, a checkpoint dir, nor a saved "
+            "step directory"
+        )
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    if template is not None:
+        restored = ckptr.restore(
+            os.path.join(path, "default"),
+            args=ocp.args.StandardRestore(template),
+        )
+    else:
+        restored = ckptr.restore(os.path.join(path, "default"))
+    base = os.path.basename(path)
+    if base.isdigit():
+        found_step = int(base)
+    else:
+        raw_step = (restored.get("step") if isinstance(restored, dict)
+                    else getattr(restored, "step", None))
+        found_step = int(raw_step) if raw_step is not None else None
+    return restored, found_step
+
+
 def merge_by_name(dst, src, prefix=""):
     """Copy leaves of `src` into `dst` wherever path AND shape match.
 
@@ -215,15 +258,9 @@ class Trainer:
         intersect, keep fresh step and optimizer state. Used for PointRCNN
         stage-wise training (stage-2 starts from stage-1 weights,
         tiny_pointrcnn_stage2.yaml:26-27 in the reference)."""
-        ckpt_dir = path
-        if not os.path.isdir(ckpt_dir):
-            raise FileNotFoundError(f"restore_model_path {path!r} not found")
-        # accept either a run dir (with a ckpt/ subdir) or the ckpt dir itself
-        if os.path.isdir(os.path.join(path, "ckpt")):
-            ckpt_dir = os.path.join(path, "ckpt")
-        raw, step = CheckpointManager(ckpt_dir, max_to_keep=1).restore_raw()
+        raw, step = restore_from_path(path)
         if raw is None:
-            raise FileNotFoundError(f"no checkpoint under {ckpt_dir!r}")
+            raise FileNotFoundError(f"no checkpoint under {path!r}")
         params, copied_p, skipped_p = merge_by_name(
             state.params, raw.get("params", {})
         )
@@ -232,7 +269,7 @@ class Trainer:
         )
         skipped = skipped_p + skipped_s
         self.log(
-            f"warm start from {ckpt_dir} (step {step}): "
+            f"warm start from {path} (step {step}): "
             f"{len(copied_p) + len(copied_s)} tensors restored, "
             f"{len(skipped)} left at init"
             + (f" (e.g. {skipped[0]})" if skipped else "")

@@ -42,7 +42,8 @@ def test_cli_preprocess_train_evaluate(tmp_path):
     data_root = str(tmp_path / "kitti")
     npz_root = str(tmp_path / "npz")
     run_dir = str(tmp_path / "run")
-    write_tree(data_root, n_train=6, n_val=3, n_points=2600, seed=3, k_max=3)
+    write_tree(data_root, n_train=6, n_val=3, n_points=2600, seed=3, k_max=3,
+               n_test=2)
 
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only child interpreters
@@ -60,6 +61,7 @@ def test_cli_preprocess_train_evaluate(tmp_path):
         "TRAIN.CONFIG.CHECKPOINT_INTERVAL", "30",
         "TRAIN.AUGMENTATIONS.MIXUP.NUMBER", "(3, )",
         "TEST.TEST_MODE", "Recall",
+        "DATASET.KITTI.TEST_LIST", os.path.join(data_root, "test.txt"),
     ]
 
     _run_cli("ssd3d.bin.preprocess", ["--cfg", cfg, "--img_list", "train"] + opts, env)
@@ -85,6 +87,30 @@ def test_cli_preprocess_train_evaluate(tmp_path):
     assert final["total"] > 0  # GT present on the val split
     assert np.isfinite(final["recall"])
     assert os.path.exists(os.path.join(run_dir, "best.json"))
+
+    # one-shot evaluation of a SPECIFIC checkpoint (the reference
+    # evaluator's required --restore_model_path surface), pointed at the
+    # copied-aside best_ckpt step dir
+    best_step = json.load(open(os.path.join(run_dir, "best.json")))["step"]
+    os.remove(os.path.join(run_dir, f"eval_{best_step}.json"))
+    _run_cli("ssd3d.bin.evaluate",
+             ["--cfg", cfg, "--log_dir", run_dir,
+              "--restore_model_path", os.path.join(run_dir, "best_ckpt"),
+              "--cls_threshold", "0.01"] + opts, env)
+    assert os.path.exists(os.path.join(run_dir, f"eval_{best_step}.json"))
+
+    # KITTI test-server submission path: label-free testing/ split,
+    # preprocess --img_list test, then bin.test --split test (no GT read)
+    _run_cli("ssd3d.bin.preprocess", ["--cfg", cfg, "--img_list", "test"]
+             + opts, env)
+    assert os.path.exists(os.path.join(npz_root, "test", "list.txt"))
+    _run_cli("ssd3d.bin.test",
+             ["--cfg", cfg, "--log_dir", run_dir, "--split", "test",
+              "--cls_threshold", "0.01"] + opts, env)
+    results = sorted(os.listdir(os.path.join(run_dir, "kitti_result")))
+    assert results == ["000000.txt", "000001.txt"]
+    for line in open(os.path.join(run_dir, "kitti_result", results[0])):
+        assert line.startswith("Car "), line  # KITTI submission row format
 
 
 @pytest.mark.slow

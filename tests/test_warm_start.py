@@ -53,3 +53,40 @@ def test_restore_raw_across_structures(tmp_path):
     merged, copied, skipped = merge_by_name(dst_params, raw["params"])
     assert copied == ["rpn/w"] and skipped == ["rcnn_head/w"]
     np.testing.assert_array_equal(merged["rpn"]["w"], 3.0)
+
+
+def test_restore_from_path_accepts_all_path_shapes(tmp_path):
+    """--restore_model_path accepts a run dir, the ckpt dir, a numeric step
+    dir, and a copied-aside non-numeric step dir (best_ckpt)."""
+    import os
+    import shutil
+
+    from ssd3d.train.trainer import restore_from_path
+
+    run_dir = tmp_path / "run"
+    state = TrainState(
+        step=jnp.asarray(40, jnp.int32),
+        params={"rpn": {"w": jnp.full((2, 2), 7.0)}},
+        batch_stats={},
+        opt_state={},
+    )
+    ckpt = CheckpointManager(str(run_dir / "ckpt"))
+    ckpt.save(40, state)
+    shutil.copytree(str(run_dir / "ckpt" / "40"), str(run_dir / "best_ckpt"))
+
+    for path in (run_dir, run_dir / "ckpt", run_dir / "ckpt" / "40",
+                 run_dir / "best_ckpt"):
+        raw, step = restore_from_path(str(path))
+        assert step == 40, path
+        np.testing.assert_array_equal(raw["params"]["rpn"]["w"], 7.0)
+        # typed restore through a template
+        restored, step = restore_from_path(str(path), template=state)
+        assert step == 40 and int(restored.step) == 40
+        np.testing.assert_array_equal(restored.params["rpn"]["w"], 7.0)
+
+    try:
+        restore_from_path(str(tmp_path / "nope"))
+    except FileNotFoundError:
+        pass
+    else:
+        raise AssertionError("missing path must raise")

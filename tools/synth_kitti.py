@@ -153,8 +153,13 @@ def project_box2d(box, P2):
     return x1, y1, x2, y2
 
 
-def write_tree(root, n_train=48, n_val=16, n_points=20000, seed=0, k_max=5):
-    """Generate the full KITTI object tree + list files under `root`."""
+def write_tree(root, n_train=48, n_val=16, n_points=20000, seed=0, k_max=5,
+               n_test=0):
+    """Generate the full KITTI object tree + list files under `root`.
+
+    `n_test > 0` additionally writes a label-free `testing/` split (the
+    KITTI test-server layout) + test.txt, for the `--img_list test` /
+    `bin.test --split test --no_gt` submission path."""
     base = os.path.join(root, "training")
     for sub in ("velodyne", "calib", "label_2", "planes", "image_2"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
@@ -191,6 +196,29 @@ def write_tree(root, n_train=48, n_val=16, n_points=20000, seed=0, k_max=5):
         f.write("".join(f"{i:06d}\n" for i in range(n_train)))
     with open(os.path.join(root, "val.txt"), "w") as f:
         f.write("".join(f"{i:06d}\n" for i in range(n_train, n_total)))
+
+    if n_test:
+        test_base = os.path.join(root, "testing")
+        for sub in ("velodyne", "calib", "planes", "image_2"):  # no label_2
+            os.makedirs(os.path.join(test_base, sub), exist_ok=True)
+        for i in range(n_test):
+            with open(os.path.join(test_base, "calib", f"{i:06d}.txt"),
+                      "w") as f:
+                f.write(CALIB_TXT)
+            write_png(os.path.join(test_base, "image_2", f"{i:06d}.png"),
+                      IMG_H, IMG_W)
+            with open(os.path.join(test_base, "planes", f"{i:06d}.txt"),
+                      "w") as f:
+                f.write(f"# Plane\nWidth 4\nHeight 1\n0 -1 0 {GROUND_Y}\n")
+            pts_rect, _ = make_scene(rng, n_points, k_max)
+            velo = calib.rect_to_velo(pts_rect[:, :3])
+            np.concatenate(
+                [velo, pts_rect[:, 3:4]], 1
+            ).astype(np.float32).tofile(
+                os.path.join(test_base, "velodyne", f"{i:06d}.bin")
+            )
+        with open(os.path.join(root, "test.txt"), "w") as f:
+            f.write("".join(f"{i:06d}\n" for i in range(n_test)))
     return root
 
 
