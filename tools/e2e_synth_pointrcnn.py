@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--quick", action="store_true",
                     help="tiny configs + CPU-sized scans (CI smoke)")
+    ap.add_argument("--size", choices=["quick", "small", "full"],
+                    default=None,
+                    help="config scale: quick=tiny chain smoke, small=CPU-"
+                    "feasible learning proof, full=flagship (TPU)")
+    ap.add_argument("--iters2", type=int, default=None,
+                    help="stage-2 iteration count (default: --iters)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out_json", default=None)
     ap.add_argument("--cls_threshold", type=float, default=0.05)
@@ -54,23 +60,30 @@ def main():
     run1_dir = os.path.join(wd, "run_stage1")
     run2_dir = os.path.join(wd, "run_stage2")
 
-    if args.quick:
+    size = args.size or ("quick" if args.quick else "full")
+    if size == "quick":
         cfg1 = "configs/kitti/pointrcnn/pointrcnn_tiny_stage1.yaml"
         cfg2 = "configs/kitti/pointrcnn/pointrcnn_tiny_stage2.yaml"
         n_points = 3000
         args.train_scans = min(args.train_scans, 8)
         args.val_scans = min(args.val_scans, 4)
         args.iters = min(args.iters, 300)
-        ckpt_interval = max(args.iters // 3, 1)
+        args.batch = 2
+    elif size == "small":
+        cfg1 = "configs/kitti/pointrcnn/pointrcnn_small_stage1.yaml"
+        cfg2 = "configs/kitti/pointrcnn/pointrcnn_small_stage2.yaml"
+        n_points = 8000
         args.batch = 2
     else:
         cfg1 = "configs/kitti/pointrcnn/pointrcnn_stage1.yaml"
         cfg2 = "configs/kitti/pointrcnn/pointrcnn_stage2.yaml"
         n_points = 20000
-        ckpt_interval = max(args.iters // 4, 1)
+    iters2 = args.iters2 or args.iters
+    ckpt_interval = max(args.iters // (3 if size == "quick" else 4), 1)
+    ckpt_interval2 = max(iters2 // (3 if size == "quick" else 4), 1)
 
     env = dict(os.environ)
-    if args.cpu or args.quick:
+    if args.cpu or size == "quick":
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
 
@@ -105,8 +118,10 @@ def main():
     run(py + ["ssd3d.bin.train", "--cfg", cfg1, "--log_dir", run1_dir]
         + opts, os.path.join(wd, "train_stage1.log"), env)
 
+    opts2 = opts + ["TRAIN.CONFIG.MAX_ITERATIONS", str(iters2),
+                    "TRAIN.CONFIG.CHECKPOINT_INTERVAL", str(ckpt_interval2)]
     run(py + ["ssd3d.bin.train", "--cfg", cfg2, "--log_dir", run2_dir,
-              "--restore_model_path", run1_dir] + opts,
+              "--restore_model_path", run1_dir] + opts2,
         os.path.join(wd, "train_stage2.log"), env)
 
     run(py + ["ssd3d.bin.evaluate", "--cfg", cfg2, "--log_dir", run2_dir,
@@ -128,10 +143,10 @@ def main():
                      if "warm start from" in ln), "")
     summary = {
         "configs": [cfg1, cfg2],
-        "iters_per_stage": args.iters,
+        "iters_per_stage": [args.iters, iters2],
         "train_scans": args.train_scans,
         "val_scans": args.val_scans,
-        "backend": "cpu" if (args.cpu or args.quick) else
+        "backend": "cpu" if (args.cpu or size == "quick") else
                    env.get("JAX_PLATFORMS", "default"),
         "warm_start": warm,
         "ap_by_step": {
