@@ -112,6 +112,26 @@ def test_cli_preprocess_train_evaluate(tmp_path):
     for line in open(os.path.join(run_dir, "kitti_result", results[0])):
         assert line.startswith("Car "), line  # KITTI submission row format
 
+    # crash-resume: a fresh bin.train process on the same log_dir restores
+    # the latest checkpoint and continues to the new iteration target
+    _run_cli("ssd3d.bin.train",
+             ["--cfg", cfg, "--log_dir", run_dir, "--max_iterations", "90"]
+             + opts, env)
+    log = open(os.path.join(run_dir, "log_train.txt")).read()
+    assert "restored checkpoint at step 60" in log
+    assert os.path.isdir(os.path.join(run_dir, "ckpt", "90"))
+    resumed = [json.loads(l)
+               for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert resumed[-1]["iter"] == 90  # iteration numbering continued
+
+    # serving export: a self-contained jax.export artifact from the ckpt
+    _run_cli("ssd3d.bin.export",
+             ["--cfg", cfg, "--log_dir", run_dir, "--batch", "1"] + opts,
+             env)
+    assert os.path.getsize(os.path.join(run_dir, "detector.jaxexp")) > 1000
+    meta = json.load(open(os.path.join(run_dir, "detector.jaxexp.json")))
+    assert meta["checkpoint_step"] == 90 and meta["cls_list"] == ["Car"]
+
 
 @pytest.mark.slow
 def test_cli_nuscenes_preprocess_train_evaluate(tmp_path):
