@@ -7,6 +7,7 @@
 import argparse
 
 from ssd3d.config import load_cfg
+from ssd3d.parallel import initialize_from_env
 from ssd3d.train.trainer import Trainer
 
 
@@ -24,6 +25,7 @@ def main():
                     "PointRCNN stage-2 training")
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
+    initialize_from_env()  # multi-host: no-op unless SSD3D_DIST_* is set
     cfg = load_cfg(args.cfg, args.opts)
     Trainer(cfg, args.log_dir, args.split, args.seed,
             restore_model_path=args.restore_model_path).train(args.max_iterations)

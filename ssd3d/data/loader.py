@@ -36,6 +36,15 @@ def _collate(samples):
 def _mp_worker(loader_bytes, task_q, out_q):
     """Worker-process loop: pull an (epoch, index) block, emit a collated
     batch. The loader is rebuilt from a pickle so 'spawn' contexts work too."""
+    # A fork-child of a jax.distributed parent inherits its SIGTERM/SIGINT
+    # Python handlers but not its helper threads — the handler can then
+    # never run (the deferred Python callback needs a live main loop), so
+    # terminate() wouldn't kill the worker and the parent's exit-time join
+    # would hang forever. Restore kernel-default dispositions first.
+    import signal
+
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.SIG_DFL)
     try:
         loader = pickle.loads(loader_bytes)
         while True:
@@ -43,8 +52,9 @@ def _mp_worker(loader_bytes, task_q, out_q):
             if idxs is None:
                 out_q.put(None)
                 return
-            samples = [loader.load_sample(i, epoch_seed=e) for e, i in idxs]
-            out_q.put(_collate(samples))
+            seq, block = idxs
+            samples = [loader.load_sample(i, epoch_seed=e) for e, i in block]
+            out_q.put((seq, _collate(samples)))
     except BaseException as exc:  # surface worker crashes in the parent
         import traceback
 
@@ -53,17 +63,22 @@ def _mp_worker(loader_bytes, task_q, out_q):
 
 
 class MixupDatabase:
-    """Round-robin shuffled sampler over per-class GT crops
-    (builder/mixup_sampler.py)."""
+    """Per-class GT-crop sampler (builder/mixup_sampler.py).
+
+    The reference cycles a shuffled cursor through each class DB
+    (mixup_sampler.py round-robin); a cursor is *shared mutable state*,
+    which would make sample content depend on worker scheduling and break
+    both run-to-run reproducibility and multi-host training (every process
+    must materialize the identical global batch, trainer._device_batch).
+    Instead each draw is a pure function of the caller's per-sample rng —
+    uniform without replacement, which matches the round-robin's uniform
+    coverage in expectation at GT-database sizes (thousands of crops)."""
 
     def __init__(self, root: str, cls_list, num_list, cls2idx, seed: int = 0):
         self.entries = {}
         self.cls_list = list(cls_list)
         self.num_list = list(num_list)
         self.cls2idx = cls2idx
-        self._perm = {}
-        self._pos = {}
-        rng = np.random.default_rng(seed)
         for cls in self.cls_list:
             cls_dir = os.path.join(root, cls)
             with open(os.path.join(cls_dir, "list.txt")) as f:
@@ -71,19 +86,10 @@ class MixupDatabase:
             self.entries[cls] = [
                 os.path.join(cls_dir, f"{n}.npz") for n in names
             ]
-            self._perm[cls] = rng.permutation(len(names))
-            self._pos[cls] = 0
 
     def _draw(self, rng, cls, num):
-        perm, pos = self._perm[cls], self._pos[cls]
-        if pos + num >= len(perm):
-            out = perm[pos:].copy()
-            self._perm[cls] = rng.permutation(len(perm))
-            self._pos[cls] = 0
-        else:
-            out = perm[pos:pos + num]
-            self._pos[cls] = pos + num
-        return out
+        n = len(self.entries[cls])
+        return rng.choice(n, size=num, replace=num > n)
 
     def sample(self, rng):
         boxes, classes, points = [], [], []
@@ -259,8 +265,11 @@ class KittiLoader:
         time anyway. num_procs>0: worker *processes* (the reference's ZMQ
         multiprocess pipeline, data_provider.py:265-404, minus the ZMQ — a
         pickled loader per worker over mp queues). Every sample is a pure
-        function of (epoch, index), so batch contents are identical under
-        either scheme; only batch arrival order varies with scheduling.
+        function of (epoch, index) AND delivery is sequence-ordered (a
+        reorder buffer at the consumer), so the batch at train iteration k
+        is identical for any worker count or scheduling — and, critically,
+        for every process of a multi-host run, where each host assembles
+        its rows of the same global batch independently.
         """
         shuffle = self.training if shuffle is None else shuffle
         if num_procs > 0:
@@ -271,6 +280,7 @@ class KittiLoader:
         collate = _collate
         stream = self._index_stream(batch_size, epochs, shuffle)
         lock = threading.Lock()
+        seq_box = [0]
         out_q: queue.Queue = queue.Queue(maxsize=4)
         stop = threading.Event()
 
@@ -278,13 +288,15 @@ class KittiLoader:
             try:
                 while not stop.is_set():
                     with lock:
+                        seq = seq_box[0]
                         try:
                             idxs = [next(stream) for _ in range(batch_size)]
                         except StopIteration:
                             out_q.put(None)
                             return
+                        seq_box[0] += 1
                     samples = [self.load_sample(i, epoch_seed=e) for e, i in idxs]
-                    out_q.put(collate(samples))
+                    out_q.put((seq, collate(samples)))
             except BaseException as exc:  # propagate instead of dying silently
                 out_q.put(exc)
 
@@ -295,6 +307,8 @@ class KittiLoader:
         for t in threads:
             t.start()
         finished = 0
+        pending: dict = {}
+        want = 0
         try:
             while finished < len(threads):
                 item = out_q.get()
@@ -303,7 +317,10 @@ class KittiLoader:
                     continue
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                pending[item[0]] = item[1]
+                while want in pending:  # deliver strictly in sequence order
+                    yield pending.pop(want)
+                    want += 1
         finally:
             stop.set()
 
@@ -323,6 +340,7 @@ class KittiLoader:
         stream = self._index_stream(batch_size, epochs, shuffle)
 
         def feeder():
+            seq = 0
             while True:
                 idxs = []
                 for _ in range(batch_size):
@@ -334,11 +352,14 @@ class KittiLoader:
                     for _ in procs:
                         task_q.put(None)
                     return
-                task_q.put(idxs)
+                task_q.put((seq, idxs))
+                seq += 1
 
         feed_thread = threading.Thread(target=feeder, daemon=True)
         feed_thread.start()
         finished = 0
+        pending: dict = {}
+        want = 0
         try:
             while finished < len(procs):
                 try:
@@ -362,9 +383,16 @@ class KittiLoader:
                     continue
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                pending[item[0]] = item[1]
+                while want in pending:  # deliver strictly in sequence order
+                    yield pending.pop(want)
+                    want += 1
         finally:
             for p in procs:
                 p.terminate()
             for p in procs:
                 p.join(timeout=5)
+            for p in procs:  # escalate: never leave an unkillable child
+                if p.is_alive():
+                    p.kill()
+                    p.join(timeout=5)

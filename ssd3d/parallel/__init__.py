@@ -4,5 +4,7 @@ from ssd3d.parallel.mesh import (
     replicated,
     fsdp_shardings,
 )
+from ssd3d.parallel.distributed import initialize_from_env, make_global_batch
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "fsdp_shardings"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "fsdp_shardings",
+           "initialize_from_env", "make_global_batch"]

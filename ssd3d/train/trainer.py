@@ -159,11 +159,24 @@ class Trainer:
         self.cfg = cfg
         self.log_dir = os.path.abspath(log_dir)
         os.makedirs(self.log_dir, exist_ok=True)
-        self.log_file = open(os.path.join(self.log_dir, "log_train.txt"), "a")
-        self.metrics_file = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
-        # config snapshot into the run dir (trainer.py:59)
-        with open(os.path.join(self.log_dir, "config_snapshot.json"), "w") as f:
-            json.dump(cfg.to_dict(), f, indent=1, default=str)
+        # multi-host: every process runs the identical program over the
+        # global mesh, but only process 0 owns the run-dir text artifacts
+        # (checkpoint saves stay collective — orbax coordinates them)
+        self.is_lead = jax.process_index() == 0
+        devnull = open(os.devnull, "w")
+        self.log_file = (
+            open(os.path.join(self.log_dir, "log_train.txt"), "a")
+            if self.is_lead else devnull
+        )
+        self.metrics_file = (
+            open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+            if self.is_lead else devnull
+        )
+        if self.is_lead:
+            # config snapshot into the run dir (trainer.py:59)
+            with open(os.path.join(self.log_dir, "config_snapshot.json"),
+                      "w") as f:
+                json.dump(cfg.to_dict(), f, indent=1, default=str)
 
         self.pipeline = build_pipeline(cfg, nms_pre_topk=cfg.TPU.NMS_PRE_TOPK or 2048)
         self.model = self.pipeline.model
@@ -231,6 +244,14 @@ class Trainer:
         self.log_file.flush()
 
     def _device_batch(self, batch):
+        if jax.process_count() > 1:
+            from ssd3d.parallel import make_global_batch
+
+            # identical deterministic batch on every host; each process
+            # feeds the rows its addressable devices own
+            return make_global_batch(
+                self.bsh, {k: batch[k] for k in self.batch_keys}
+            )
         return {
             k: jax.device_put(jnp.asarray(batch[k]), self.bsh)
             for k in self.batch_keys
@@ -289,11 +310,12 @@ class Trainer:
             num_procs = 4 if self.loader.augmentor is not None else 0
         t_last = time.time()
         it = start_step
-        for batch in self.loader.batches(
+        batch_gen = self.loader.batches(
             self.batch_size,
             num_threads=self.cfg.DATA_LOADER.NUM_THREADS,
             num_procs=num_procs,
-        ):
+        )
+        for batch in batch_gen:
             if it >= max_iters:
                 break
             state, metrics = self.step_fn(state, self._device_batch(batch), rng)
@@ -314,7 +336,7 @@ class Trainer:
             if it % cfg.CHECKPOINT_INTERVAL == 0:
                 self.ckpt.save(it, jax.device_get(state))
                 self.log(f"saved checkpoint at iter {it}")
-                if cfg.SUMMARY_BEV_IMAGES:
+                if cfg.SUMMARY_BEV_IMAGES and self.is_lead:
                     # PNG stand-in for the reference's TF BEV image summary
                     from ssd3d.utils.viz import draw_bev
 
@@ -327,6 +349,10 @@ class Trainer:
                         os.path.join(bev_dir, f"iter_{it:07d}.png"),
                         gt_boxes=gt,
                     )
+        # tear the worker pool down NOW (generator close runs its finally)
+        # instead of at interpreter shutdown, where multiprocessing's
+        # exit-time join can deadlock against jax.distributed teardown
+        batch_gen.close()
         self.ckpt.save(it, jax.device_get(state))
         self.log(f"training done at iter {it}")
         return state

@@ -150,6 +150,18 @@ def test_run_preprocess_and_loader(mini_kitti, tmp_path):
     batch4 = next(loader4.batches(2, epochs=1, num_procs=2))
     np.testing.assert_array_equal(batch["points"], batch4["points"])
     np.testing.assert_array_equal(batch["gt_boxes"], batch4["gt_boxes"])
+    # sequence-ordered delivery: the batch at iteration k is identical for
+    # ANY worker scheme (multi-host correctness depends on this — every
+    # process must assemble rows of the same global batch, trainer.py
+    # _device_batch); reorder buffers in loader.batches/_batches_mp
+    def seq(**kw):
+        ld = KittiLoader(cfg, "train", training=True, seed=7)
+        return [b["names"].tolist() for b in ld.batches(2, epochs=4, **kw)]
+
+    ref_seq = seq(num_threads=1)
+    assert len(ref_seq) == 6
+    assert seq(num_threads=4) == ref_seq
+    assert seq(num_procs=2) == ref_seq
 
 
 def test_budget_points(rng):
