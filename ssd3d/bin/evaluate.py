@@ -79,6 +79,7 @@ def main():
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
     cfg = load_cfg(args.cfg, args.opts)
+    os.makedirs(args.log_dir, exist_ok=True)
 
     pipeline = build_pipeline(cfg)
     shape_loader = build_loader(cfg, args.split, training=False)
