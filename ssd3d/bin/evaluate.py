@@ -48,6 +48,7 @@ def evaluate_checkpoint(cfg, pipeline, state, split="val",
     det, gt, _ = run_inference_on_split(
         cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=cls_thresh, log=log, limit=limit,
+        batch_size=cfg.TEST.BATCH_SIZE,
     )
     if cfg.TEST.TEST_MODE == "Recall":
         gt_boxes = [

@@ -79,7 +79,7 @@ def main():
     run_inference_on_split(
         cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=args.cls_threshold, save_dir=save_dir, limit=args.limit,
-        with_gt=with_gt,
+        with_gt=with_gt, batch_size=cfg.TEST.BATCH_SIZE,
     )
     print(f"predictions saved to {save_dir}")
 

@@ -179,7 +179,9 @@ def get_default_cfg() -> Config:
     # thread workers everywhere else; 0 = always threads; N>0 = N processes
     c.DATA_LOADER = Config(NUM_THREADS=4, NUM_PROCS=-1)
 
-    c.TEST = Config(WITH_GT=True, TEST_MODE="mAP")
+    # BATCH_SIZE is an ssd3d extension (reference eval is strictly batch-1):
+    # >1 shards the eval forward's batch axis over all visible devices
+    c.TEST = Config(WITH_GT=True, TEST_MODE="mAP", BATCH_SIZE=1)
 
     # ------------------------------------------------------------------ model
     def _stage_cfg(first_stage: bool) -> Config:

@@ -102,10 +102,16 @@ def save_kitti_predictions(path: str, boxes_3d, scores, classes, cls_list,
 def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                            cls_thresh=0.3, save_dir=None, log=print,
                            limit=None, use_true_image_size=False,
-                           with_gt=True):
+                           with_gt=True, batch_size=1):
     """Run `infer_fn(variables, points) -> det dict` over a (val) split:
     per-scan detections; optionally dumps KITTI txts.
     Returns (det_per_image, gt_per_image, names).
+
+    batch_size > 1 runs the forward data-parallel over ALL visible devices
+    (batch axis sharded on a 1-D mesh; the trailing partial batch is padded
+    by repetition and the pad results dropped). The reference evaluator is
+    strictly batch-1 single-GPU (evaluator.py feed loop); sharded eval is a
+    TPU extension — a pod evaluates a val split with every chip busy.
 
     2D-clip extent: the reference clips projected detection boxes to the
     hard-coded (375, 1242) default for EVERY scan (anchors_util.py:54
@@ -118,43 +124,78 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
     import jax
     import jax.numpy as jnp
 
-    infer = jax.jit(infer_fn)
+    if batch_size > 1:
+        from ssd3d.parallel import batch_sharding, make_mesh, replicated
+
+        n_dev = len(jax.devices())
+        if batch_size % n_dev:  # round UP so no device idles
+            batch_size += n_dev - batch_size % n_dev
+        mesh = make_mesh(n_dev)
+        bsh, rep = batch_sharding(mesh), replicated(mesh)
+        infer = jax.jit(infer_fn, in_shardings=(rep, bsh))
+        variables = jax.device_put(variables, rep)
+    else:
+        infer = jax.jit(infer_fn)
 
     det_per_image, gt_per_image, names = [], [], []
     count = 0
-    for batch in loader.batches(1, epochs=1, num_threads=1, shuffle=False):
-        det = infer(variables, jnp.asarray(batch["points"]))
-        det = {k: np.asarray(v)[0] for k, v in det.items()}
-        keep = det["valid"] & (det["scores"] >= cls_thresh)
-        boxes = det["boxes"][keep]
-        scores = det["scores"][keep]
-        classes = det["classes"][keep]
-        name = int(batch["names"][0])
-        P2 = batch["calib_P2"][0]
-        img_shape = (375, 1242)
-        if use_true_image_size and "image_size" in batch:
-            img_shape = tuple(int(v) for v in batch["image_size"][0])
-        det_per_image.append(
-            detections_to_eval_objects(
-                boxes, scores, classes, list(cls_list), P2, img_shape
-            )
-        )
-        # test-set mode (reference --no_gt, tester.py:27): no label files
-        gt_per_image.append(
-            labels_to_eval_objects(scene.labels(name)) if with_gt else []
-        )
-        names.append(name)
-        if save_dir:
-            os.makedirs(save_dir, exist_ok=True)
-            save_kitti_predictions(
-                os.path.join(save_dir, f"{name:06d}.txt"),
-                boxes, scores, classes, list(cls_list), P2, img_shape,
-            )
-        count += 1
-        if count % 200 == 0:
-            log(f"inference {count} scans")
-        if limit and count >= limit:
+    done = False
+    single_stream = loader.batches(1, epochs=1, num_threads=1, shuffle=False)
+
+    def pull_block():
+        block = []
+        for b in single_stream:
+            block.append(b)
+            if len(block) == batch_size:
+                break
+        return block
+
+    while not done:
+        block = pull_block()
+        if not block:
             break
+        n_real = len(block)
+        done = n_real < batch_size
+        pts = np.concatenate(
+            [b["points"] for b in block]
+            + [block[-1]["points"]] * (batch_size - n_real)
+        )
+        dets = infer(variables, jnp.asarray(pts))
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        for i in range(n_real):
+            batch = block[i]
+            det = {k: v[i] for k, v in dets.items()}
+            keep = det["valid"] & (det["scores"] >= cls_thresh)
+            boxes = det["boxes"][keep]
+            scores = det["scores"][keep]
+            classes = det["classes"][keep]
+            name = int(batch["names"][0])
+            P2 = batch["calib_P2"][0]
+            img_shape = (375, 1242)
+            if use_true_image_size and "image_size" in batch:
+                img_shape = tuple(int(v) for v in batch["image_size"][0])
+            det_per_image.append(
+                detections_to_eval_objects(
+                    boxes, scores, classes, list(cls_list), P2, img_shape
+                )
+            )
+            # test-set mode (reference --no_gt, tester.py:27): no label files
+            gt_per_image.append(
+                labels_to_eval_objects(scene.labels(name)) if with_gt else []
+            )
+            names.append(name)
+            if save_dir:
+                os.makedirs(save_dir, exist_ok=True)
+                save_kitti_predictions(
+                    os.path.join(save_dir, f"{name:06d}.txt"),
+                    boxes, scores, classes, list(cls_list), P2, img_shape,
+                )
+            count += 1
+            if count % 200 == 0:
+                log(f"inference {count} scans")
+            if limit and count >= limit:
+                done = True
+                break
     return det_per_image, gt_per_image, names
 
 

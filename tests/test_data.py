@@ -331,3 +331,67 @@ def test_device_aug_loader_and_train_step(mini_kitti, tmp_path):
     # augmentation is stochastic across steps (rng folds in the step count)
     state2, metrics2 = jax.jit(graph.train_step)(state, jb, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics2["total"]))
+
+
+def test_sharded_batch_eval_matches_batch1(mini_kitti, tmp_path):
+    """run_inference_on_split batch_size>1 (batch axis sharded over the
+    8 virtual devices, trailing partial batch padded) must produce the
+    identical per-scan detections, GT lists, and KITTI dumps as the
+    reference-parity batch-1 path."""
+    import jax.numpy as jnp
+
+    from ssd3d.eval.predictions import run_inference_on_split
+
+    cfg = load_cfg("/root/repo/configs/kitti/3dssd/3dssd.yaml")
+    cfg.DATASET.KITTI.BASE_DIR_PATH = str(mini_kitti)
+    cfg.DATASET.KITTI.TRAIN_LIST = str(mini_kitti / "train.txt")
+    cfg.DATASET.KITTI.SAVE_NUMPY_PATH = str(tmp_path)
+    cfg.MODEL.POINTS_NUM_FOR_TRAINING = 1024
+    run_preprocess(cfg, "train", log=lambda *a: None)
+    scene = KittiScene(str(mini_kitti), "training")
+
+    def fake_infer(variables, points):
+        # deterministic per-scan "detections" derived from the points: the
+        # plumbing under test is batching/padding/sharding, not the model
+        ctr = jnp.mean(points[..., :3], axis=1)  # [bs, 3]
+        spread = jnp.std(points[..., :3], axis=1)
+        k = 3
+        boxes = jnp.stack(
+            [jnp.concatenate([ctr + 0.1 * i, spread + 1.0,
+                              jnp.mean(points[..., 3:4], axis=1) * (i + 1)],
+                             axis=-1) for i in range(k)],
+            axis=1,
+        )  # [bs, k, 7]
+        scores = jnp.stack(
+            [jnp.mean(points[..., 3], axis=1) * 0.5 + 0.1 * i
+             for i in range(k)], axis=1)
+        return {
+            "boxes": boxes,
+            "scores": scores,
+            "classes": jnp.zeros(scores.shape, jnp.int32),
+            "valid": scores > 0.15,
+        }
+
+    def run(batch_size, save_dir):
+        loader = KittiLoader(cfg, "train", training=False, seed=0)
+        return run_inference_on_split(
+            cfg, fake_infer, ("Car",), {}, loader, scene,
+            cls_thresh=0.0, save_dir=save_dir, log=lambda *a: None,
+            batch_size=batch_size,
+        )
+
+    det1, gt1, names1 = run(1, str(tmp_path / "out1"))
+    det8, gt8, names8 = run(8, str(tmp_path / "out8"))  # 3 scans -> padded
+    assert names1 == names8 and len(det1) == 3
+    for d1, d8 in zip(det1, det8):
+        assert len(d1) == len(d8)
+        for a, b in zip(d1, d8):
+            np.testing.assert_allclose(a.box2d, b.box2d, rtol=1e-5)
+            np.testing.assert_allclose(a.t, b.t, rtol=1e-5)
+            assert (a.l, a.h, a.w, a.ry, a.score) == (b.l, b.h, b.w, b.ry, b.score)
+    assert [len(g) for g in gt1] == [len(g) for g in gt8]
+    f1 = sorted(os.listdir(tmp_path / "out1"))
+    assert f1 == sorted(os.listdir(tmp_path / "out8"))
+    for f in f1:
+        assert (tmp_path / "out1" / f).read_text() == \
+            (tmp_path / "out8" / f).read_text()
