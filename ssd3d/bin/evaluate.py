@@ -42,6 +42,7 @@ def evaluate_checkpoint(cfg, pipeline, state, split="val",
         det, gt, _ = nusc.run_inference_on_split(
             cfg, pipeline.infer, pipeline.cls_list, variables, loader,
             cls_thresh=cls_thresh, log=log, limit=limit,
+            batch_size=cfg.TEST.BATCH_SIZE,
         )
         return nusc.evaluate_split(cfg, det, gt, pipeline.cls_list, log=log)
     scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")

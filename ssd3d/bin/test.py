@@ -65,7 +65,7 @@ def main():
         nusc.run_inference_on_split(
             cfg, pipeline.infer, pipeline.cls_list, variables, loader,
             cls_thresh=args.cls_threshold, save_path=save_path,
-            limit=args.limit,
+            limit=args.limit, batch_size=cfg.TEST.BATCH_SIZE,
         )
         print(f"predictions saved to {save_path}")
         return

@@ -68,57 +68,90 @@ def gt_batch_to_nusc_boxes(gt_boxes, gt_labels, cls_list,
 
 def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader,
                            cls_thresh=0.0, save_path=None, log=print,
-                           limit=None):
+                           limit=None, batch_size=1):
     """Run the jitted detector over a NuScenesLoader split.
 
     Returns (det_per_frame, gt_per_frame, names) as NuscBox lists. When
     `save_path` is given, also writes a submission-style JSON:
-    {"results": {sample_token: [record, ...]}} with camera-frame boxes."""
+    {"results": {sample_token: [record, ...]}} with camera-frame boxes.
+    batch_size > 1 shards the forward's batch axis over all visible
+    devices (see predictions.run_inference_on_split — same TPU extension,
+    trailing partial batch padded by repetition)."""
     import jax
     import jax.numpy as jnp
 
-    infer = jax.jit(infer_fn)
+    if batch_size > 1:
+        from ssd3d.parallel import batch_sharding, make_mesh, replicated
+
+        n_dev = len(jax.devices())
+        if batch_size % n_dev:
+            batch_size += n_dev - batch_size % n_dev
+        mesh = make_mesh(n_dev)
+        bsh, rep = batch_sharding(mesh), replicated(mesh)
+        infer = jax.jit(infer_fn, in_shardings=(rep, bsh))
+        variables = jax.device_put(variables, rep)
+    else:
+        infer = jax.jit(infer_fn)
     dets, gts, names = [], [], []
     dump = {}
     count = 0
-    for batch in loader.batches(1, epochs=1, num_threads=1, shuffle=False):
-        det = infer(variables, jnp.asarray(batch["points"]))
-        det = {k: np.asarray(v)[0] for k, v in det.items()}
-        keep = det["valid"] & (det["scores"] >= cls_thresh)
-        boxes = det["boxes"][keep]
-        scores = det["scores"][keep]
-        classes = det["classes"][keep]
-        velocity = det["velocity"][keep] if "velocity" in det else None
-        attr = det["attribute"][keep] if "attribute" in det else None
-        dets.append(detections_to_nusc_boxes(
-            boxes, scores, classes, list(cls_list), velocity, attr
-        ))
-        gts.append(gt_batch_to_nusc_boxes(
-            batch["gt_boxes"][0], batch["gt_labels"][0], list(cls_list),
-            batch.get("gt_velocity", [None])[0],
-            batch.get("gt_attribute", [None])[0],
-        ))
-        name = batch["names"][0]
-        names.append(name)
-        if save_path is not None:
-            dump[str(name)] = [
-                {
-                    "sample_token": str(name),
-                    "translation_cam": [float(v) for v in b.center],
-                    "size_lhw": [float(v) for v in b.size],
-                    "yaw_cam": b.ry,
-                    "velocity_cam": [float(v) for v in b.velocity],
-                    "detection_name": b.cls,
-                    "detection_score": b.score,
-                    "attribute_id": b.attribute,
-                }
-                for b in dets[-1]
-            ]
-        count += 1
-        if count % 200 == 0:
-            log(f"inference {count} frames")
-        if limit and count >= limit:
+    done = False
+    stream = loader.batches(1, epochs=1, num_threads=1, shuffle=False)
+    while not done:
+        block = []
+        for b in stream:
+            block.append(b)
+            if len(block) == batch_size:
+                break
+        if not block:
             break
+        n_real = len(block)
+        done = n_real < batch_size
+        pts = np.concatenate(
+            [b["points"] for b in block]
+            + [block[-1]["points"]] * (batch_size - n_real)
+        )
+        out = infer(variables, jnp.asarray(pts))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for i in range(n_real):
+            batch = block[i]
+            det = {k: v[i] for k, v in out.items()}
+            keep = det["valid"] & (det["scores"] >= cls_thresh)
+            boxes = det["boxes"][keep]
+            scores = det["scores"][keep]
+            classes = det["classes"][keep]
+            velocity = det["velocity"][keep] if "velocity" in det else None
+            attr = det["attribute"][keep] if "attribute" in det else None
+            dets.append(detections_to_nusc_boxes(
+                boxes, scores, classes, list(cls_list), velocity, attr
+            ))
+            gts.append(gt_batch_to_nusc_boxes(
+                batch["gt_boxes"][0], batch["gt_labels"][0], list(cls_list),
+                batch.get("gt_velocity", [None])[0],
+                batch.get("gt_attribute", [None])[0],
+            ))
+            name = batch["names"][0]
+            names.append(name)
+            if save_path is not None:
+                dump[str(name)] = [
+                    {
+                        "sample_token": str(name),
+                        "translation_cam": [float(v) for v in b.center],
+                        "size_lhw": [float(v) for v in b.size],
+                        "yaw_cam": b.ry,
+                        "velocity_cam": [float(v) for v in b.velocity],
+                        "detection_name": b.cls,
+                        "detection_score": b.score,
+                        "attribute_id": b.attribute,
+                    }
+                    for b in dets[-1]
+                ]
+            count += 1
+            if count % 200 == 0:
+                log(f"inference {count} frames")
+            if limit and count >= limit:
+                done = True
+                break
     if save_path is not None:
         os.makedirs(os.path.dirname(os.path.abspath(save_path)),
                     exist_ok=True)

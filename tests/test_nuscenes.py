@@ -427,3 +427,62 @@ def test_convert_raw_nuscenes(tmp_path):
     assert sample["points"].shape == (16384, 5)
     assert sample["gt_labels"][0] == 1  # car is class 1 in CLS_LIST
     np.testing.assert_allclose(sample["gt_velocity"][0], [4, 0], atol=1e-5)
+
+
+def test_nusc_sharded_batch_eval_matches_batch1(nusc_env, tmp_path):
+    """nuScenes analogue of test_data.test_sharded_batch_eval_matches_batch1:
+    batch_size>1 (sharded over the 8 virtual devices, trailing batch
+    padded) must produce identical NuscBox lists and submission JSON."""
+    import json
+
+    import jax.numpy as jnp
+
+    from ssd3d.eval import nuscenes_predictions as nusc
+
+    cfg = load_cfg("/root/repo/configs/nuscenes/3dssd/3dssd.yaml")
+    cfg.DATASET.NUSCENES.MAX_CUR_SAMPLE_POINTS_NUM = 512
+    cfg.MODEL.POINTS_NUM_FOR_TRAINING = 512
+
+    def fake_infer(variables, points):
+        ctr = jnp.mean(points[..., :3], axis=1)
+        spread = jnp.std(points[..., :3], axis=1)
+        k = 2
+        boxes = jnp.stack(
+            [jnp.concatenate([ctr + i, spread + 1.0,
+                              jnp.mean(points[..., 3:4], axis=1)], axis=-1)
+             for i in range(k)], axis=1)
+        scores = jnp.stack(
+            [jnp.abs(jnp.mean(points[..., 3], axis=1)) + 0.1 * i
+             for i in range(k)], axis=1)
+        return {
+            "boxes": boxes,
+            "scores": scores,
+            "classes": jnp.zeros(scores.shape, jnp.int32),
+            "valid": scores > 0.0,
+            "velocity": boxes[..., :2] * 0.1,
+            "attribute": jnp.ones(scores.shape, jnp.int32),
+        }
+
+    cls_list = tuple(cfg.DATASET.NUSCENES.CLS_LIST)
+
+    def run(batch_size, save):
+        loader = NuScenesLoader(cfg, "train", data_dir=str(nusc_env), seed=0)
+        return nusc.run_inference_on_split(
+            cfg, fake_infer, cls_list, {}, loader,
+            cls_thresh=0.0, save_path=save, log=lambda *a: None,
+            batch_size=batch_size,
+        )
+
+    d1, g1, n1 = run(1, str(tmp_path / "r1.json"))
+    d8, g8, n8 = run(8, str(tmp_path / "r8.json"))  # 3 frames -> padded
+    assert n1 == n8 and len(d1) == 3
+    for a_list, b_list in zip(d1, d8):
+        assert len(a_list) == len(b_list)
+        for a, b in zip(a_list, b_list):
+            np.testing.assert_allclose(a.center, b.center, rtol=1e-5)
+            np.testing.assert_allclose(a.size, b.size, rtol=1e-5)
+            assert (a.cls, a.attribute) == (b.cls, b.attribute)
+            np.testing.assert_allclose(a.score, b.score, rtol=1e-6)
+    assert [len(g) for g in g1] == [len(g) for g in g8]
+    assert json.load(open(tmp_path / "r1.json")) == \
+        json.load(open(tmp_path / "r8.json"))
