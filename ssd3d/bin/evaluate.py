@@ -78,6 +78,9 @@ def main():
                     "ckpt dir, or a single step dir such as best_ckpt) "
                     "instead of polling --log_dir/ckpt — the reference "
                     "evaluator's required flag (evaluator.py:21)")
+    ap.add_argument("--restore_tf_checkpoint", default=None,
+                    help="evaluate a reference TF-1 checkpoint once "
+                    "(name-mapped weight conversion, incl. BN stats)")
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
     cfg = load_cfg(args.cfg, args.opts)
@@ -87,6 +90,27 @@ def main():
     shape_loader = build_loader(cfg, args.split, training=False)
     example = jnp.zeros((1, *shape_loader.sample_points_shape), jnp.float32)
     template = pipeline.graph.init_state(jax.random.PRNGKey(0), example)
+
+    if args.restore_tf_checkpoint:
+        from ssd3d.utils.tf_checkpoint import convert_tf_checkpoint
+
+        variables = {"params": template.params,
+                     "batch_stats": template.batch_stats}
+        new_vars, missing = convert_tf_checkpoint(
+            args.restore_tf_checkpoint, cfg, variables
+        )
+        state = template.replace(params=new_vars["params"],
+                                 batch_stats=new_vars["batch_stats"])
+        print(f"evaluating converted TF checkpoint "
+              f"{args.restore_tf_checkpoint} ({len(missing)} unmatched)")
+        results, metric = evaluate_checkpoint(
+            cfg, pipeline, state, args.split,
+            args.cls_threshold, args.limit,
+        )
+        print(f"TF ckpt: selection metric {metric:.2f}")
+        with open(os.path.join(args.log_dir, "eval_tf_ckpt.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        return
 
     if args.restore_model_path:
         from ssd3d.train.trainer import restore_from_path

@@ -23,12 +23,20 @@ def main():
                     "ckpt dir): name-intersect transfer restore, as the "
                     "reference trainer's flag of the same name; used for "
                     "PointRCNN stage-2 training")
+    ap.add_argument("--restore_tf_checkpoint", default=None,
+                    help="initialize weights from a reference TF-1 "
+                    "checkpoint (name-mapped conversion, incl. BN stats; "
+                    "single- and two-stage models) — the reference loads "
+                    "TF checkpoints through --restore_model_path "
+                    "(trainer.py:161-174)")
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
     initialize_from_env()  # multi-host: no-op unless SSD3D_DIST_* is set
     cfg = load_cfg(args.cfg, args.opts)
     Trainer(cfg, args.log_dir, args.split, args.seed,
-            restore_model_path=args.restore_model_path).train(args.max_iterations)
+            restore_model_path=args.restore_model_path,
+            restore_tf_checkpoint=args.restore_tf_checkpoint,
+            ).train(args.max_iterations)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,18 @@ def focal_loss(logits: Array, targets: Array, gamma=2.0, alpha=0.25) -> Array:
     return jnp.power(1.0 - p_t, gamma) * alpha_t * ce
 
 
+def softmax_focal_loss(logits: Array, label_idx: Array,
+                       gamma=2.0, alpha=0.25) -> Array:
+    """Multi-class focal loss over a softmax head: -alpha_t (1-p_t)^g log p_t
+    with p_t the softmax probability of the true class; class 0 (background)
+    gets weight 1-alpha, foreground classes alpha."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp_t = jnp.take_along_axis(logp, label_idx[..., None], axis=-1)[..., 0]
+    p_t = jnp.exp(logp_t)
+    alpha_t = jnp.where(label_idx > 0, alpha, 1.0 - alpha)
+    return -alpha_t * jnp.power(1.0 - p_t, gamma) * logp_t
+
+
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
     cls_loss_type: str  # 'Center-ness' | 'Is-Not' | 'Focal-loss'
@@ -96,15 +108,25 @@ def classification_loss(cfg: LossConfig, outputs, targets) -> Array:
     logits = outputs["cls"]  # [bs, pts, c]
     gt_cls = targets["gt_cls"]  # [bs, pts] (0 = background)
 
-    if cfg.cls_activation == "Sigmoid":
+    softmax = cfg.cls_activation == "Softmax"
+    if not softmax:
+        # Sigmoid: c = num_classes channels, background = all-zeros row
         onehot = jax.nn.one_hot(gt_cls - 1, cfg.num_classes, dtype=logits.dtype)
     if cfg.cls_loss_type == "Is-Not":
-        if cfg.cls_activation == "Softmax":
+        if softmax:
             per_pt = softmax_ce(logits, gt_cls)
         else:
             per_pt = jnp.mean(sigmoid_ce(logits, onehot), axis=-1)
     elif cfg.cls_loss_type == "Focal-loss":
-        per_pt = jnp.mean(focal_loss(logits, onehot), axis=-1)
+        if softmax:
+            # Multi-class focal over the (num_classes+1)-way softmax: the
+            # reference's schema admits this combination but its
+            # focal_loss_producer only handles the sigmoid path
+            # (loss_builder.py:70-82 leaves gt_cls as indices) — define it
+            # as the standard softmax focal loss, alpha on foreground.
+            per_pt = softmax_focal_loss(logits, gt_cls)
+        else:
+            per_pt = jnp.mean(focal_loss(logits, onehot), axis=-1)
     else:  # Center-ness
         base_xyz = jax.lax.stop_gradient(outputs["base_xyz"])
         boxes = targets["gt_boxes"]  # [bs, pts, cls, 7]
@@ -113,7 +135,19 @@ def classification_loss(cfg: LossConfig, outputs, targets) -> Array:
         ctr = ctr * jnp.max(pmask, axis=-1)
         lo, hi = cfg.centerness_range
         ctr = ctr * (hi - lo) + lo
-        per_pt = jnp.mean(sigmoid_ce(logits, onehot * ctr[..., None]), axis=-1)
+        if softmax:
+            # Soft-label CE: centerness mass on the true class, the rest on
+            # background — the softmax analog of scaling the sigmoid target.
+            fg = jax.nn.one_hot(gt_cls, cfg.num_classes + 1, dtype=logits.dtype)
+            bg = jax.nn.one_hot(jnp.zeros_like(gt_cls), cfg.num_classes + 1,
+                                dtype=logits.dtype)
+            c = ctr[..., None]
+            target = fg * c + bg * (1.0 - c)
+            per_pt = -jnp.sum(target * jax.nn.log_softmax(logits, axis=-1),
+                              axis=-1)
+        else:
+            per_pt = jnp.mean(sigmoid_ce(logits, onehot * ctr[..., None]),
+                              axis=-1)
     return jnp.sum(per_pt * cls_mask) / norm
 
 

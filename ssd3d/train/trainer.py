@@ -155,7 +155,8 @@ class Trainer:
     """End-to-end KITTI training (the reference trainer.py CLI body)."""
 
     def __init__(self, cfg, log_dir: str, split: str = "train", seed: int = 0,
-                 restore_model_path: str | None = None):
+                 restore_model_path: str | None = None,
+                 restore_tf_checkpoint: str | None = None):
         self.cfg = cfg
         self.log_dir = os.path.abspath(log_dir)
         os.makedirs(self.log_dir, exist_ok=True)
@@ -200,6 +201,7 @@ class Trainer:
             cfg.TRAIN.CONFIG.MAX_CHECKPOINTS_TO_KEEP,
         )
         self.restore_model_path = restore_model_path
+        self.restore_tf_checkpoint = restore_tf_checkpoint
         self.seed = seed
 
         batch_keys = ["points", "gt_boxes", "gt_labels"]
@@ -270,6 +272,21 @@ class Trainer:
             return jax.device_put(restored, self.state_sh)
         if self.restore_model_path:
             state = self._warm_start(state, self.restore_model_path)
+            state = jax.device_put(state, self.state_sh)
+        if self.restore_tf_checkpoint:
+            from ssd3d.utils.tf_checkpoint import convert_tf_checkpoint
+
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            new_vars, missing = convert_tf_checkpoint(
+                self.restore_tf_checkpoint, self.cfg, variables, log=self.log
+            )
+            self.log(
+                f"TF checkpoint {self.restore_tf_checkpoint} converted "
+                f"({len(missing)} unmatched paths)"
+            )
+            state = state.replace(params=new_vars["params"],
+                                  batch_stats=new_vars["batch_stats"])
             state = jax.device_put(state, self.state_sh)
         return state
 

@@ -43,7 +43,8 @@ def _used_names(architecture):
     return names
 
 
-def build_name_map(cfg, stage: str = "FIRST_STAGE", backbone: str = "backbone"):
+def build_name_map(cfg, stage: str = "FIRST_STAGE", backbone: str = "backbone",
+                   head_prefix: str = "head"):
     """-> (param_map, stats_map): flax path tuple -> TF variable name prefix.
 
     Paths are relative to the variables root, e.g.
@@ -86,7 +87,7 @@ def build_name_map(cfg, stage: str = "FIRST_STAGE", backbone: str = "backbone"):
 
     for i, head in enumerate(net_cfg.HEAD):
         mlp, head_type, scope = head[3], head[5], head[6]
-        flax_head = scope if scope else f"head{i}"
+        flax_head = scope if scope else f"{head_prefix}{i}"
 
         def tf_name(sub, scope=scope):
             # an empty TF variable scope adds no prefix
@@ -105,6 +106,33 @@ def build_name_map(cfg, stage: str = "FIRST_STAGE", backbone: str = "backbone"):
     return conv_map
 
 
+def build_two_stage_name_map(cfg):
+    """Name map for the DoubleStage (PointRCNN/STD) model: both backbones
+    under their flax module names, the RoI pooler's align/vfe MLPs
+    (reference pool_utils.py:5 scoping — `<pool_scope>/conv%d` and
+    `<pool_scope>/vfe/conv%d`, points_pooler.py:101-114), and both head
+    stacks."""
+    conv_map = build_name_map(
+        cfg, "FIRST_STAGE", backbone="rpn_backbone", head_prefix="rpn_head"
+    )
+    conv_map.update(build_name_map(
+        cfg, "SECOND_STAGE", backbone="rcnn_backbone", head_prefix="rcnn_head"
+    ))
+    pc = cfg.MODEL.NETWORK.FIRST_STAGE.POINTS_POOLER
+    pool_type, align_channels, scope = pc[0], pc[2], pc[8]
+    flax_pool = scope or "roi_pool"
+
+    def tf_name(sub):
+        return f"{scope}/{sub}" if scope else sub
+
+    for i in range(len(align_channels)):
+        conv_map[(flax_pool, "align", f"conv{i}")] = tf_name(f"conv{i}")
+    if pool_type == "PointsPool":
+        for i in range(len(pc[6])):
+            conv_map[(flax_pool, "vfe", f"conv{i}")] = tf_name(f"vfe/conv{i}")
+    return conv_map
+
+
 def convert_tf_checkpoint(ckpt_path: str, cfg, variables,
                           stage: str = "FIRST_STAGE", strict: bool = False,
                           log=print):
@@ -115,7 +143,10 @@ def convert_tf_checkpoint(ckpt_path: str, cfg, variables,
 
     reader = tf.train.load_checkpoint(ckpt_path)
     available = set(reader.get_variable_to_shape_map().keys())
-    conv_map = build_name_map(cfg, stage)
+    if cfg.MODEL.TYPE == "DoubleStage":
+        conv_map = build_two_stage_name_map(cfg)
+    else:
+        conv_map = build_name_map(cfg, stage)
 
     import flax
 

@@ -104,6 +104,36 @@ def test_ball_query_dilated_includes_self(rng):
         assert i in idx[0, i]
 
 
+def test_ball_query_withidx_matches_oracle(rng):
+    """Attention grouping: first-nsample-in-SUPPLIED-order contract
+    (tf_grouping_g.cu:260 query_ball_point_withidx_gpu — visit points in
+    sort_idx order, keep in-radius hits, pad by repeating the first hit)."""
+    xyz = rng.uniform(-3, 3, size=(2, 128, 3)).astype(np.float32)
+    qi = rng.choice(128, size=32, replace=False)
+    new_xyz = xyz[:, qi]
+    # a per-query random visiting order (the model uses descending feature
+    # distance; the op contract holds for ANY permutation)
+    order = np.stack([
+        np.stack([rng.permutation(128) for _ in range(32)]) for _ in range(2)
+    ]).astype(np.int32)
+    idx, cnt = ops.ball_query_withidx(
+        1.0, 8, jnp.asarray(xyz), jnp.asarray(new_xyz), jnp.asarray(order)
+    )
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    for b in range(2):
+        for i in range(32):
+            d = np.sqrt(((xyz[b] - new_xyz[b, i]) ** 2).sum(-1))
+            visited = order[b, i]
+            hits = visited[d[visited] < 1.0]
+            c = min(len(hits), 8)
+            want = np.zeros(8, np.int64)
+            if c > 0:
+                want[:] = hits[0]
+                want[:c] = hits[:c]
+            np.testing.assert_array_equal(cnt[b, i], c)
+            np.testing.assert_array_equal(idx[b, i], want)
+
+
 def test_ball_query_empty_gives_zero(rng):
     xyz = np.ones((1, 64, 3), np.float32) * 100.0
     new_xyz = np.zeros((1, 4, 3), np.float32)

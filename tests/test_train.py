@@ -266,6 +266,50 @@ def test_losses_finite_and_complete(tiny_train):
     assert float(total) > 0
 
 
+def test_attention_grouping_train_step(rng):
+    """use_attention=True (field 10 of the arch tuple; reference
+    layers_util.py:122-130 attention grouping) through a full train step:
+    the branch must trace, the loss must be finite, and grads must reach
+    the attention layer's MLP."""
+    cfg = tiny_cfg()
+    arch = cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE
+    arch[0][10] = True  # first SA layer groups in feature-distance order
+    arch[1][10] = True
+    model, spec = build_detector(cfg)
+    graph = TrainGraph.build(cfg, model, spec)
+    batch = _tiny_batch(np.random.RandomState(2))
+    state = graph.init_state(jax.random.PRNGKey(0), batch["points"])
+    state2, metrics = jax.jit(graph.train_step)(
+        state, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["total"]))
+    # layer1 mlp weights must have moved (grads flowed through the
+    # attention-ordered grouping)
+    before = state.params["backbone"]["layer1"]["mlp0"]["conv0"]["conv"]["kernel"]
+    after = state2.params["backbone"]["layer1"]["mlp0"]["conv0"]["conv"]["kernel"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.parametrize("activation", ["Sigmoid", "Softmax"])
+@pytest.mark.parametrize("loss_type", ["Is-Not", "Focal-loss", "Center-ness"])
+def test_cls_activation_loss_matrix(activation, loss_type, rng):
+    """Every reachable CLS_ACTIVATION x CLASSIFICATION_LOSS.TYPE YAML
+    combination must trace and produce a finite loss (the reference's schema
+    admits all six; its own loss_builder.py:70-92 only handles four)."""
+    cfg = tiny_cfg()
+    cfg.MODEL.FIRST_STAGE.CLS_ACTIVATION = activation
+    cfg.MODEL.FIRST_STAGE.CLASSIFICATION_LOSS.TYPE = loss_type
+    model, spec = build_detector(cfg)
+    graph = TrainGraph.build(cfg, model, spec)
+    batch = _tiny_batch(np.random.RandomState(1))
+    state = graph.init_state(jax.random.PRNGKey(0), batch["points"])
+    total, (loss_dict, _) = graph.compute_losses(
+        state.params, state.batch_stats, batch, jax.random.PRNGKey(0), 0.9
+    )
+    assert np.isfinite(float(total)), (activation, loss_type)
+    assert np.isfinite(float(loss_dict["cls"])) and float(loss_dict["cls"]) >= 0
+
+
 def test_train_step_decreases_loss(tiny_train):
     cfg, graph, state, batch = tiny_train
     step = jax.jit(graph.train_step)
