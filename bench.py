@@ -95,6 +95,23 @@ def main():
     tput_uniform = _throughput(infer, variables, jnp.asarray(uniform))
     lat_b1 = _latency(infer, variables, jnp.asarray(real[:1]))
 
+    # MFU: XLA's analytical FLOP count for the compiled step, achieved at
+    # the measured scan rate, against the v5e bf16 peak (197 TFLOP/s;
+    # f32-HIGHEST matmuls burn multiple bf16 passes, so this is the honest
+    # "of what the MXU could do, how much does the model's math use" ratio)
+    mfu_fields = {}
+    try:
+        cost = infer.lower(variables, jnp.asarray(real)).compile().cost_analysis()
+        flops_batch = float(cost.get("flops", 0.0))
+        if flops_batch > 0:
+            peak = 197e12
+            mfu_fields = {
+                "model_gflops_per_scan": round(flops_batch / batch / 1e9, 2),
+                "mfu": round(flops_batch / batch * tput_real / peak, 4),
+            }
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "kitti_3dssd_scans_per_sec",
         "value": round(tput_real, 2),
@@ -105,6 +122,7 @@ def main():
         "uniform_scans_per_sec": round(tput_uniform, 2),
         "batch1_latency_ms": round(lat_b1 * 1e3, 2),
         "batch1_scans_per_sec": round(1.0 / lat_b1, 2),
+        **mfu_fields,
     }))
 
 

@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def bench_pipeline(cfg_path, n_points, batch, opts=(), n_feat=4):
+def bench_pipeline(cfg_path, n_points, batch, opts=(), n_feat=4, mutate=None):
     import jax
     import jax.numpy as jnp
 
@@ -32,6 +32,8 @@ def bench_pipeline(cfg_path, n_points, batch, opts=(), n_feat=4):
     from tools.synth_kitti import make_scene
 
     cfg = load_cfg(cfg_path, list(opts))
+    if mutate is not None:
+        mutate(cfg)
     pipeline = build_pipeline(cfg)
 
     rng = np.random.default_rng(0)
@@ -79,7 +81,24 @@ CONFIGS = [
     ("3dssd_kitti_3cls", "configs/kitti/3dssd/3dssd_3cls.yaml", 16384, 8, (), 4),
     ("pointrcnn_kitti", "configs/kitti/pointrcnn/pointrcnn_test.yaml",
      16384, 2, (), 4),
+    ("std_kitti", "configs/kitti/std/std.yaml", 16384, 2, (), 4),
     ("3dssd_nuscenes", "configs/nuscenes/3dssd/3dssd.yaml", 65536, 1, (), 5),
+]
+
+
+def _enable_attention(cfg):
+    """use_attention=True on the MSG SA layers (field 10 of the arch tuple;
+    reference layers_util.py:122-130) — costed against the dilated-grouping
+    flagship row."""
+    for layer in cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE:
+        if layer[11] == "SA_Layer" and isinstance(layer[2], list) and layer[2]:
+            layer[10] = True  # use_attention
+            layer[13] = False  # attention grouping replaces dilated grouping
+
+
+MUTATED_CONFIGS = [
+    ("3dssd_kitti_attention", "configs/kitti/3dssd/3dssd.yaml", 16384, 8,
+     (), 4, _enable_attention),
 ]
 
 
@@ -88,10 +107,13 @@ def main():
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/results_configs.json"
     results = {"backend": jax.default_backend()}
-    for name, cfg_path, n_pts, batch, opts, n_feat in CONFIGS:
+    rows = [c + (None,) for c in CONFIGS] + MUTATED_CONFIGS
+    for name, cfg_path, n_pts, batch, opts, n_feat, mutate in rows:
         print(f"benchmarking {name}...", flush=True)
         try:
-            results[name] = bench_pipeline(cfg_path, n_pts, batch, opts, n_feat)
+            results[name] = bench_pipeline(
+                cfg_path, n_pts, batch, opts, n_feat, mutate
+            )
         except Exception as e:  # record the failure, keep the rest
             results[name] = {"error": f"{type(e).__name__}: {e}"}
         print(f"  {results[name]}", flush=True)

@@ -33,6 +33,30 @@ def _collate(samples):
     return batch
 
 
+def _collate_block(loader, block):
+    """Load + collate one batch's (epoch, index) block, honoring the
+    loader's per-host row range: with `row_range = (lo, hi)` set (multi-host
+    training), only rows [lo, hi) are materialized — the rows this process's
+    addressable devices own under the batch sharding — and the rest are
+    zero stand-ins that make_array_from_callback never reads. Loading drops
+    from O(global batch) to O(batch / hosts) per host."""
+    rr = getattr(loader, "row_range", None)
+    if rr is None:
+        return _collate([loader.load_sample(i, epoch_seed=e)
+                         for e, i in block])
+    lo, hi = rr
+    samples = [None] * len(block)
+    for r, (e, i) in enumerate(block):
+        if lo <= r < hi:
+            samples[r] = loader.load_sample(i, epoch_seed=e)
+    template = next(s for s in samples if s is not None)
+    blank = {
+        k: (np.zeros_like(v) if isinstance(v, np.ndarray) else type(v)())
+        for k, v in template.items()
+    }
+    return _collate([s if s is not None else blank for s in samples])
+
+
 def _mp_worker(loader_bytes, task_q, out_q):
     """Worker-process loop: pull an (epoch, index) block, emit a collated
     batch. The loader is rebuilt from a pickle so 'spawn' contexts work too."""
@@ -53,8 +77,7 @@ def _mp_worker(loader_bytes, task_q, out_q):
                 out_q.put(None)
                 return
             seq, block = idxs
-            samples = [loader.load_sample(i, epoch_seed=e) for e, i in block]
-            out_q.put((seq, _collate(samples)))
+            out_q.put((seq, _collate_block(loader, block)))
     except BaseException as exc:  # surface worker crashes in the parent
         import traceback
 
@@ -277,7 +300,6 @@ class KittiLoader:
                 batch_size, epochs, shuffle, num_procs, mp_method)
             return
 
-        collate = _collate
         stream = self._index_stream(batch_size, epochs, shuffle)
         lock = threading.Lock()
         seq_box = [0]
@@ -295,8 +317,7 @@ class KittiLoader:
                             out_q.put(None)
                             return
                         seq_box[0] += 1
-                    samples = [self.load_sample(i, epoch_seed=e) for e, i in idxs]
-                    out_q.put((seq, collate(samples)))
+                    out_q.put((seq, _collate_block(self, idxs)))
             except BaseException as exc:  # propagate instead of dying silently
                 out_q.put(exc)
 

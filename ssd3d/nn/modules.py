@@ -36,7 +36,7 @@ from ssd3d.ops.grouping import (
 from ssd3d.ops.interpolate import inverse_distance_weights, three_interpolate, three_nn
 from ssd3d.ops.sampling import (
     farthest_point_sample,
-    farthest_point_sample_from_dist,
+    farthest_point_sample_features,
     gather_points,
 )
 
@@ -76,13 +76,11 @@ def _fusion_sample(
         elif method == "F-FPS":
             seg_feat = jax.lax.slice_in_dim(features, start, start + length, axis=1)
             fused = jnp.concatenate([seg_xyz, seg_feat], axis=-1)
-            dist = square_distance(fused, fused)
-            idx = farthest_point_sample_from_dist(dist, npoint)
+            idx = farthest_point_sample_features(fused, npoint)
         elif method == "FS":
             seg_feat = jax.lax.slice_in_dim(features, start, start + length, axis=1)
             fused = jnp.concatenate([seg_xyz, seg_feat], axis=-1)
-            dist = square_distance(fused, fused)
-            idx_f = farthest_point_sample_from_dist(dist, npoint)
+            idx_f = farthest_point_sample_features(fused, npoint)
             idx_d = farthest_point_sample(seg_xyz, npoint)
             idx = jnp.concatenate([idx_f, idx_d], axis=-1)
         else:

@@ -1,5 +1,6 @@
 from ssd3d.ops.sampling import (
     farthest_point_sample,
+    farthest_point_sample_features,
     farthest_point_sample_from_dist,
     gather_points,
     gather_by_mask,
@@ -19,6 +20,7 @@ from ssd3d.ops.nms import nms_bev, batched_class_nms, soft_nms_bev, iou_guided_n
 
 __all__ = [
     "farthest_point_sample",
+    "farthest_point_sample_features",
     "farthest_point_sample_from_dist",
     "gather_points",
     "gather_by_mask",

@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ssd3d.core.iou import aabb_iou
 
@@ -212,23 +213,33 @@ def batched_class_nms(
     """
     b, n, cls_num = scores.shape
     reg_cls = boxes_3d.shape[2]
+    # static class -> regression-branch map (anchor-free models regress one
+    # shared branch; anchor-based regress per class)
+    reg_idx = np.minimum(np.arange(cls_num), reg_cls - 1)
 
     def per_elem(bx3d, bxbev, sc):
-        outs_b, outs_s, outs_c, outs_v, outs_i = [], [], [], [], []
-        for c in range(cls_num):
-            reg_i = min(c, reg_cls - 1)
-            idx, valid = nms_bev(bxbev[:, reg_i], sc[:, c], max_output, iou_threshold)
-            outs_b.append(bx3d[:, reg_i][idx])
-            outs_s.append(jnp.where(valid, sc[:, c][idx], -1.0))
-            outs_c.append(jnp.full((max_output,), c, jnp.int32))
-            outs_v.append(valid)
-            outs_i.append(idx.astype(jnp.int32))
+        # all classes sweep TOGETHER: one vmapped O(K²) suppression whose
+        # k-iteration greedy loop advances every class per step, instead of
+        # cls_num sequential sweeps (10 on nuScenes — measured in the round-2
+        # trace as the dominant decode cost at 10 classes)
+        bev_pc = jnp.transpose(bxbev, (1, 0, 2))[reg_idx]  # [cls, n, 4]
+        box_pc = jnp.transpose(bx3d, (1, 0, 2))[reg_idx]  # [cls, n, 7]
+        sc_pc = jnp.transpose(sc, (1, 0))  # [cls, n]
+        idx, valid = jax.vmap(
+            lambda bb, ss: nms_bev(bb, ss, max_output, iou_threshold)
+        )(bev_pc, sc_pc)  # [cls, max_output]
+        boxes = jnp.take_along_axis(box_pc, idx[..., None], axis=1)
+        s_out = jnp.where(valid, jnp.take_along_axis(sc_pc, idx, axis=1), -1.0)
+        cat = jnp.broadcast_to(
+            jnp.arange(cls_num, dtype=jnp.int32)[:, None],
+            (cls_num, max_output),
+        )
         return (
-            jnp.concatenate(outs_b, axis=0),
-            jnp.concatenate(outs_s, axis=0),
-            jnp.concatenate(outs_c, axis=0),
-            jnp.concatenate(outs_v, axis=0),
-            jnp.concatenate(outs_i, axis=0),
+            boxes.reshape(cls_num * max_output, 7),
+            s_out.reshape(-1),
+            cat.reshape(-1),
+            valid.reshape(-1),
+            idx.reshape(-1).astype(jnp.int32),
         )
 
     boxes, sc, cat, valid, idx = jax.vmap(per_elem)(boxes_3d, bev_boxes, scores)

@@ -143,14 +143,18 @@ def _fps_pallas_batch(xyz: Array, npoint: int) -> Array:
 
 def _ffps_kernel(n: int, m: int, bt: int, mat_ref, out_ref, dist_ref):
     """F-FPS over a precomputed squared-distance matrix, all clouds of the
-    tile advancing together. mat_ref: [bt, n, 8, n/8] (each row pre-shaped to
-    a full-sublane tile so the per-iteration update uses all 8 VPU sublanes);
+    tile advancing together. mat_ref: [bt, 8, n, n/8] — mat[c, s, j, l] is
+    d²(j, s·(n/8)+l), i.e. the row of point j lives at [c, :, j, :] as a
+    full-sublane (8, n/8) tile. This s-above-j axis order matches the layout
+    the TPU dot emitter produces for the HIGHEST-precision distance einsum
+    ('bnc,bskc->bsnk'), so the producer feeds the kernel with NO
+    layout-assignment copy (the n-major order costs a 537 MB copy/step at
+    the flagship's 4096-point segment — tools/dump_hlo.py).
     out_ref: [bt, m] int32 in SMEM (scalar stores); dist_ref: [bt, 8, n/8].
 
     Same contract as the jnp reference (sampling.py:69): pick 0 is index 0,
     min-dist update reads row `last`, ties resolve to the lowest index — with
-    the linear index of element (s, l) being s * (n/8) + l, i.e. the
-    row-major order of the reshape done by the caller."""
+    the linear index of element (s, l) being s * (n/8) + l."""
     cols = n // _SUBLANES
     linear = (
         jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 0) * cols
@@ -163,7 +167,7 @@ def _ffps_kernel(n: int, m: int, bt: int, mat_ref, out_ref, dist_ref):
     def body(j, last):
         nxt = []
         for c in range(bt):
-            row = mat_ref[c, pl.ds(last[c], 1), :, :][0]  # [8, cols]
+            row = mat_ref[c, :, pl.ds(last[c], 1), :][:, 0, :]  # [8, cols]
             dist = jnp.minimum(dist_ref[c], row)
             dist_ref[c] = dist
             vmax = jnp.max(dist)
@@ -185,17 +189,28 @@ def ffps_pallas(dist: Array, npoint: int) -> Array:
     kernel ~0.4 ms)."""
     b, n, _ = dist.shape
     assert n % _SUBLANES == 0, n
-    cols = n // _SUBLANES
     # single grid step, whole batch resident: b * n * n * 4 bytes of VMEM
     # (callers gate on <= ~80 MB; flagship is 8 x 1024 x 1024 = 32 MB)
-    mat = dist.astype(jnp.float32).reshape(b, n, _SUBLANES, cols)
+    cols = n // _SUBLANES
+    mat = jnp.transpose(
+        dist.astype(jnp.float32).reshape(b, n, _SUBLANES, cols), (0, 2, 1, 3)
+    )
+    return ffps_pallas_pre(mat, npoint)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ffps_pallas_pre(mat: Array, npoint: int) -> Array:
+    """VMEM F-FPS over an s-major tiled matrix [b, 8, n, n/8]
+    (mat[c, s, j, l] = d²(j, s·(n/8)+l); see _ffps_kernel for why)."""
+    b, n = mat.shape[0], mat.shape[2]
+    cols = n // _SUBLANES
 
     kernel = functools.partial(_ffps_kernel, n, npoint, b)
     out = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((b, n, _SUBLANES, cols), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((b, _SUBLANES, n, cols), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((b, npoint), lambda i: (0, 0),
@@ -218,8 +233,12 @@ def _ffps_hbm_kernel(n: int, m: int, b: int, mat_ref, out_ref,
     be prefetched — overlapping ACROSS clouds is the available
     parallelism).
 
-    mat_ref: ANY [b, n, 8, n/8]; out_ref: SMEM [b, m]; dist_ref: VMEM
-    [b, 8, n/8]; row_ref: VMEM [b, 1, 8, n/8]; sem: DMA semaphore array [b].
+    mat_ref: ANY [b, 8, n·(n/8)] — the s-major matrix with (j, l) flattened
+    so the row of point j is the LANE slice [c, :, j·cols : (j+1)·cols]
+    (cols is a multiple of 128, so the dynamic lane offset is tile-aligned;
+    slicing the tiled j dim of a 4-D HBM memref is rejected by Mosaic).
+    out_ref: SMEM [b, m]; dist_ref: VMEM [b, 8, n/8]; row_ref: VMEM
+    [b, 8, n/8]; sem: DMA semaphore array [b].
     """
     cols = n // _SUBLANES
     linear = (
@@ -233,8 +252,9 @@ def _ffps_hbm_kernel(n: int, m: int, b: int, mat_ref, out_ref,
     def body(j, last):
         copies = []
         for c in range(b):
+            off = pl.multiple_of(last[c] * cols, 128)
             cp = pltpu.make_async_copy(
-                mat_ref.at[c, pl.ds(last[c], 1)], row_ref.at[c],
+                mat_ref.at[c, :, pl.ds(off, cols)], row_ref.at[c],
                 sem.at[c],
             )
             cp.start()
@@ -242,7 +262,7 @@ def _ffps_hbm_kernel(n: int, m: int, b: int, mat_ref, out_ref,
         nxt = []
         for c in range(b):
             copies[c].wait()
-            dist = jnp.minimum(dist_ref[c], row_ref[c, 0])
+            dist = jnp.minimum(dist_ref[c], row_ref[c])
             dist_ref[c] = dist
             vmax = jnp.max(dist)
             best = jnp.min(jnp.where(dist == vmax, linear, jnp.int32(n)))
@@ -263,7 +283,21 @@ def ffps_pallas_hbm(dist: Array, npoint: int) -> Array:
     b, n, _ = dist.shape
     assert n % _SUBLANES == 0, n
     cols = n // _SUBLANES
-    mat = dist.astype(jnp.float32).reshape(b, n, _SUBLANES, cols)
+    mat = jnp.transpose(
+        dist.astype(jnp.float32).reshape(b, n, _SUBLANES, cols), (0, 2, 1, 3)
+    )
+    return ffps_pallas_hbm_pre(mat, npoint)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ffps_pallas_hbm_pre(mat: Array, npoint: int) -> Array:
+    """HBM-streaming F-FPS over an s-major tiled matrix [b, 8, n, n/8]
+    (see _ffps_kernel for why callers pre-tile in this order). Requires
+    n/8 % 128 == 0 (the in-kernel row slice is a lane slice)."""
+    b, n = mat.shape[0], mat.shape[2]
+    cols = n // _SUBLANES
+    assert cols % 128 == 0, (n, cols)
+    flat = mat.reshape(b, _SUBLANES, n * cols)  # row-major: pure bitcast
 
     kernel = functools.partial(_ffps_hbm_kernel, n, npoint, b)
     return pl.pallas_call(
@@ -275,13 +309,13 @@ def ffps_pallas_hbm(dist: Array, npoint: int) -> Array:
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((b, _SUBLANES, cols), jnp.float32),
-            pltpu.VMEM((b, 1, _SUBLANES, cols), jnp.float32),
+            pltpu.VMEM((b, _SUBLANES, cols), jnp.float32),
             pltpu.SemaphoreType.DMA((b,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(mat)
+    )(flat)
 
 
 def fps_pallas(xyz: Array, npoint: int) -> Array:

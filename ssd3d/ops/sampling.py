@@ -83,9 +83,10 @@ def farthest_point_sample_from_dist(dist: Array, npoint: int,
             from ssd3d.ops.pallas.fps import ffps_pallas
 
             return ffps_pallas(dist, npoint)
-        if dist.shape[0] <= 16:
+        if dist.shape[0] <= 16 and (dist.shape[1] // 8) % 128 == 0:
             # too big for VMEM (e.g. the 4096-point fusion-sampling
-            # segment): stream the picked rows from HBM instead
+            # segment): stream the picked rows from HBM instead (the
+            # kernel's lane-sliced rows need n/8 % 128 == 0)
             from ssd3d.ops.pallas.fps import ffps_pallas_hbm
 
             return ffps_pallas_hbm(dist, npoint)
@@ -107,6 +108,58 @@ def farthest_point_sample_from_dist(dist: Array, npoint: int,
         return out
 
     return jax.vmap(single)(dist)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def farthest_point_sample_features(fused: Array, npoint: int) -> Array:
+    """F-FPS straight from the fused (xyz ++ feature) vectors.
+
+    fused: [b, n, c] -> int32 [b, npoint]. Semantically identical to
+    `farthest_point_sample_from_dist(square_distance(fused, fused), npoint)`
+    but on TPU the pairwise matrix is produced DIRECTLY in the Pallas
+    kernels' (8, n/8)-tiled shape: one einsum whose dot output layout is
+    already the kernel input layout. Going through the [b, n, n] matrix
+    instead costs a full-matrix layout-assignment copy between the dot and
+    the kernel's bitcast view (measured 537 MB / ~5 ms per step on the
+    flagship's 4096-point fusion-sampling segment, tools/dump_hlo.py)."""
+    fused = jax.lax.stop_gradient(fused)
+    b, n, c = fused.shape
+    if jax.default_backend() == "tpu" and n % 8 == 0:
+        f = fused.astype(jnp.float32)
+        cols = n // 8
+        # d2[b, s, j, l] = |f_j - f_{s*cols+l}|^2 : the row-major n -> (8,
+        # n/8) split matches _ffps_kernel's linear = s * cols + l indexing,
+        # and the s-above-j output order is the layout the TPU dot emitter
+        # prefers for this einsum — natural {3,2,1,0}, hence copy-free
+        # (the j-major order costs a full-matrix relayout copy).
+        ft = f.reshape(b, 8, cols, c)
+        # HIGH (bf16x3 passes, ~f32-grade error) not HIGHEST (bf16x6): the
+        # x6 emulation lowers to a dilated-convolution emitter that measured
+        # 121 ms standalone at the flagship 4096-segment vs 6.6 ms for x3,
+        # and x3 keeps every F-FPS pick unique (the degeneracy that forced
+        # precision control appears only at single-pass bf16)
+        cross = jnp.einsum(
+            "bnc,bskc->bsnk", f, ft,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )
+        sq = jnp.sum(f * f, axis=-1)  # [b, n]
+        mat = (sq[:, None, :, None] + sq.reshape(b, 8, cols)[:, :, None, :]
+               - 2.0 * cross)
+        nbytes = b * n * n * 4
+        if nbytes <= 80 * 2**20:
+            from ssd3d.ops.pallas.fps import ffps_pallas_pre
+
+            return ffps_pallas_pre(mat, npoint)
+        if b <= 16 and cols % 128 == 0:
+            from ssd3d.ops.pallas.fps import ffps_pallas_hbm_pre
+
+            return ffps_pallas_hbm_pre(mat, npoint)
+    from ssd3d.core.geometry import square_distance
+
+    return farthest_point_sample_from_dist(
+        square_distance(fused, fused), npoint
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

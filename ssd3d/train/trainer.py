@@ -196,6 +196,31 @@ class Trainer:
             self.batch_size = max(n_dev, self.batch_size - self.batch_size % n_dev)
             self.log(f"batch size adjusted to {self.batch_size} for {n_dev} devices")
 
+        if jax.process_count() > 1:
+            # per-host input sharding: this process loads only the global-
+            # batch rows its addressable devices own (the loader is
+            # (seed, epoch, index)-pure, so every host slices the identical
+            # deterministic batch). Falls back to full-batch loading when
+            # the host's rows aren't one contiguous run.
+            idx_map = self.bsh.addressable_devices_indices_map(
+                (self.batch_size,)
+            )
+            rows = sorted(
+                (s[0].start or 0,
+                 self.batch_size if s[0].stop is None else s[0].stop)
+                for s in idx_map.values()
+            )
+            lo, hi = rows[0][0], rows[-1][1]
+            contiguous = all(
+                a[1] == b[0] for a, b in zip(rows, rows[1:])
+            ) and (hi - lo) * jax.process_count() == self.batch_size * 1
+            if contiguous:
+                self.loader.row_range = (lo, hi)
+                self.log(
+                    f"per-host input sharding: rows [{lo}, {hi}) of "
+                    f"{self.batch_size}"
+                )
+
         self.ckpt = CheckpointManager(
             os.path.join(self.log_dir, "ckpt"),
             cfg.TRAIN.CONFIG.MAX_CHECKPOINTS_TO_KEEP,
@@ -351,7 +376,7 @@ class Trainer:
                 )
                 self.metrics_file.flush()
             if it % cfg.CHECKPOINT_INTERVAL == 0:
-                self.ckpt.save(it, jax.device_get(state))
+                self.ckpt.save(it, self._host_state(state))
                 self.log(f"saved checkpoint at iter {it}")
                 if cfg.SUMMARY_BEV_IMAGES and self.is_lead:
                     # PNG stand-in for the reference's TF BEV image summary
@@ -370,6 +395,16 @@ class Trainer:
         # instead of at interpreter shutdown, where multiprocessing's
         # exit-time join can deadlock against jax.distributed teardown
         batch_gen.close()
-        self.ckpt.save(it, jax.device_get(state))
+        self.ckpt.save(it, self._host_state(state))
         self.log(f"training done at iter {it}")
         return state
+
+    def _host_state(self, state):
+        """Fully-addressable host copy of the train state for checkpointing.
+        Under fsdp x multi-process, state leaves span non-addressable
+        devices and device_get alone fails — all-gather them first."""
+        if jax.process_count() > 1 and self.parallel_mode == "fsdp":
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(state)
+        return jax.device_get(state)

@@ -48,7 +48,7 @@ def test_ffps_hbm_kernel_matches_reference(interpret, rng):
     from ssd3d.core.geometry import square_distance
     from ssd3d.ops.sampling import farthest_point_sample_from_dist
 
-    feats = jnp.asarray(rng.randn(3, 128, 6).astype(np.float32))
+    feats = jnp.asarray(rng.randn(3, 1024, 6).astype(np.float32))
     dist = square_distance(feats, feats)
     want = np.asarray(
         farthest_point_sample_from_dist(dist, 32, use_pallas=False)
@@ -58,6 +58,52 @@ def test_ffps_hbm_kernel_matches_reference(interpret, rng):
     # VMEM-resident variant agrees too
     got_vmem = np.asarray(f.ffps_pallas(dist, 32))
     np.testing.assert_array_equal(got_vmem, want)
+
+
+def test_ffps_pre_tiled_matrix_matches(interpret, rng):
+    """The pre-tiled einsum path (farthest_point_sample_features builds the
+    matrix directly in the kernels' [b, n, 8, n/8] shape to avoid the
+    bitcast layout copy) must agree with the [b, n, n] matrix path."""
+    import importlib
+
+    import ssd3d.ops.pallas.fps as f
+
+    importlib.reload(f)
+    from ssd3d.core.geometry import square_distance
+    from ssd3d.ops.sampling import farthest_point_sample_from_dist
+
+    feats = jnp.asarray(rng.randn(3, 128, 6).astype(np.float32))
+    dist = square_distance(feats, feats)
+    want = np.asarray(
+        farthest_point_sample_from_dist(dist, 32, use_pallas=False)
+    )
+    b, n, c = feats.shape
+    cols = n // 8
+    ft = feats.reshape(b, 8, cols, c)
+    cross = jnp.einsum("bnc,bskc->bsnk", feats, ft,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    sq = jnp.sum(feats * feats, axis=-1)
+    mat = (sq[:, None, :, None] + sq.reshape(b, 8, cols)[:, :, None, :]
+           - 2.0 * cross)
+    # the tiled matrix IS the s-major transpose of the square one
+    np.testing.assert_allclose(
+        np.asarray(mat),
+        np.asarray(dist).reshape(b, n, 8, cols).transpose(0, 2, 1, 3),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(f.ffps_pallas_pre(mat, 32)), want)
+
+    # the HBM variant lane-slices rows, so n/8 must be a multiple of 128
+    feats2 = jnp.asarray(rng.randn(2, 1024, 4).astype(np.float32))
+    dist2 = square_distance(feats2, feats2)
+    want2 = np.asarray(
+        farthest_point_sample_from_dist(dist2, 16, use_pallas=False)
+    )
+    mat2 = jnp.transpose(dist2.reshape(2, 1024, 8, 128), (0, 2, 1, 3))
+    np.testing.assert_array_equal(
+        np.asarray(f.ffps_pallas_hbm_pre(mat2, 16)), want2
+    )
 
 
 def test_ring_words_kernel_slabbed_matches_unslabbed(interpret, rng,

@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--quick", action="store_true",
                     help="tiny config + CPU-sized scans (CI smoke)")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard-mode multiclass proof: Car/Ped/Cyc scenes "
+                    "with occlusion/truncation difficulty spread, "
+                    "Van/DontCare distractors and car-like clutter, "
+                    "trained with 3dssd_3cls.yaml; AP summary carries all "
+                    "nine class x difficulty cells")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out_json", default=None,
                     help="summary json path (default <workdir>/ap_summary.json)")
@@ -73,6 +79,10 @@ def main():
         args.iters = min(args.iters, 600)
         ckpt_interval = max(args.iters // 3, 1)
         args.batch = 2
+    elif args.hard:
+        cfg_path = "configs/kitti/3dssd/3dssd_3cls.yaml"
+        n_points = 20000
+        ckpt_interval = max(args.iters // 4, 1)
     else:
         cfg_path = "configs/kitti/3dssd/3dssd.yaml"
         n_points = 20000
@@ -89,7 +99,8 @@ def main():
 
         print(f"generating {args.train_scans}+{args.val_scans} synthetic "
               f"scans under {data_root}", flush=True)
-        write_tree(data_root, args.train_scans, args.val_scans, n_points)
+        write_tree(data_root, args.train_scans, args.val_scans, n_points,
+                   k_max=8 if args.hard else 5, hard=args.hard)
 
     opts = [
         "DATASET.KITTI.BASE_DIR_PATH", data_root,
@@ -99,7 +110,8 @@ def main():
         "TRAIN.CONFIG.BATCH_SIZE", str(args.batch),
         "TRAIN.CONFIG.MAX_ITERATIONS", str(args.iters),
         "TRAIN.CONFIG.CHECKPOINT_INTERVAL", str(ckpt_interval),
-        "TRAIN.AUGMENTATIONS.MIXUP.NUMBER", "(4, )",
+        "TRAIN.AUGMENTATIONS.MIXUP.NUMBER",
+        "(5, 4, 4)" if args.hard else "(4, )",
     ] + list(args.extra)
     py = [sys.executable, "-m"]
 
@@ -137,7 +149,8 @@ def main():
         "backend": "cpu" if (args.cpu or args.quick) else
                    env.get("JAX_PLATFORMS", "default"),
         "ap_by_step": {
-            str(s): e.get("Car", {}).get("3d") for s, e in evals.items()
+            str(s): (e if args.hard else e.get("Car", {}).get("3d"))
+            for s, e in evals.items()
         },
         "best": best,
     }
