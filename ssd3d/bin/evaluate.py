@@ -33,7 +33,8 @@ from ssd3d.train.trainer import CheckpointManager
 
 
 def evaluate_checkpoint(cfg, pipeline, state, split="val",
-                        cls_thresh=0.3, limit=None, log=print):
+                        cls_thresh=0.3, limit=None, log=print,
+                        viz_dir=None, viz_scans=0):
     loader = build_loader(cfg, split, training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if cfg.DATASET.TYPE.upper() == "NUSCENES":
@@ -50,6 +51,7 @@ def evaluate_checkpoint(cfg, pipeline, state, split="val",
         cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=cls_thresh, log=log, limit=limit,
         batch_size=cfg.TEST.BATCH_SIZE,
+        viz_dir=viz_dir, viz_scans=viz_scans,
     )
     if cfg.TEST.TEST_MODE == "Recall":
         gt_boxes = [
@@ -73,6 +75,11 @@ def main():
     ap.add_argument("--eval_interval_secs", type=int, default=300)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--viz_scans", type=int, default=2,
+                    help="per checkpoint, dump 3D scene renders (PNG + "
+                    "interactive HTML; points/GT/predictions) for the "
+                    "first N val scans under <log_dir>/scene3d_eval/; "
+                    "0 disables")
     ap.add_argument("--restore_model_path", default=None,
                     help="evaluate exactly this checkpoint once (run dir, "
                     "ckpt dir, or a single step dir such as best_ckpt) "
@@ -106,6 +113,8 @@ def main():
         results, metric = evaluate_checkpoint(
             cfg, pipeline, state, args.split,
             args.cls_threshold, args.limit,
+            viz_dir=os.path.join(args.log_dir, "scene3d_eval", "tf_ckpt"),
+            viz_scans=args.viz_scans,
         )
         print(f"TF ckpt: selection metric {metric:.2f}")
         with open(os.path.join(args.log_dir, "eval_tf_ckpt.json"), "w") as f:
@@ -122,6 +131,9 @@ def main():
         results, metric = evaluate_checkpoint(
             cfg, pipeline, state, args.split,
             args.cls_threshold, args.limit,
+            viz_dir=os.path.join(args.log_dir, "scene3d_eval",
+                                 f"ckpt_{step}"),
+            viz_scans=args.viz_scans,
         )
         print(f"ckpt {step}: selection metric {metric:.2f}")
         tag = step if step is not None else "restored"
@@ -142,6 +154,9 @@ def main():
             results, metric = evaluate_checkpoint(
                 cfg, pipeline, state, args.split,
                 args.cls_threshold, args.limit,
+                viz_dir=os.path.join(args.log_dir, "scene3d_eval",
+                                     f"ckpt_{step}"),
+                viz_scans=args.viz_scans,
             )
             print(f"ckpt {step}: selection metric {metric:.2f}")
             with open(os.path.join(args.log_dir, f"eval_{step}.json"), "w") as f:

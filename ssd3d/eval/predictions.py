@@ -102,7 +102,8 @@ def save_kitti_predictions(path: str, boxes_3d, scores, classes, cls_list,
 def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                            cls_thresh=0.3, save_dir=None, log=print,
                            limit=None, use_true_image_size=False,
-                           with_gt=True, batch_size=1):
+                           with_gt=True, batch_size=1, viz_dir=None,
+                           viz_scans=4):
     """Run `infer_fn(variables, points) -> det dict` over a (val) split:
     per-scan detections; optionally dumps KITTI txts.
     Returns (det_per_image, gt_per_image, names).
@@ -184,6 +185,29 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                 labels_to_eval_objects(scene.labels(name)) if with_gt else []
             )
             names.append(name)
+            if viz_dir and count < viz_scans:
+                # 3D debug artifacts: points + GT + predictions (the
+                # reference's mayavi draw_lidar/draw_gt_boxes3d use case,
+                # viz_util.py:39,111), headless PNG + interactive HTML
+                from ssd3d.utils.viz import draw_scene_3d, dump_scene_html
+
+                os.makedirs(viz_dir, exist_ok=True)
+                gt_objs = gt_per_image[-1]
+                gt_b = (np.stack(
+                    [np.concatenate([g.t, [g.l, g.h, g.w, g.ry]])
+                     for g in gt_objs]).astype(np.float32)
+                    if gt_objs else np.zeros((0, 7), np.float32))
+                draw_scene_3d(
+                    batch["points"][0],
+                    os.path.join(viz_dir, f"{name:06d}.png"),
+                    gt_boxes=gt_b, pred_boxes=boxes, pred_scores=scores,
+                    title=f"scan {name:06d}",
+                )
+                dump_scene_html(
+                    batch["points"][0],
+                    os.path.join(viz_dir, f"{name:06d}.html"),
+                    gt_boxes=gt_b, pred_boxes=boxes,
+                )
             if save_dir:
                 os.makedirs(save_dir, exist_ok=True)
                 save_kitti_predictions(

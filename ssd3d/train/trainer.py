@@ -380,15 +380,31 @@ class Trainer:
                 self.log(f"saved checkpoint at iter {it}")
                 if cfg.SUMMARY_BEV_IMAGES and self.is_lead:
                     # PNG stand-in for the reference's TF BEV image summary
-                    from ssd3d.utils.viz import draw_bev
+                    # + a 3D render/interactive HTML pair standing in for
+                    # the mayavi viewer (viz_util.py:39,111)
+                    from ssd3d.utils.viz import (draw_bev, draw_scene_3d,
+                                                 dump_scene_html)
 
                     bev_dir = os.path.join(self.log_dir, "bev")
+                    s3d_dir = os.path.join(self.log_dir, "scene3d")
                     os.makedirs(bev_dir, exist_ok=True)
+                    os.makedirs(s3d_dir, exist_ok=True)
                     gt = batch["gt_boxes"][0]
                     gt = gt[np.any(gt != 0, axis=-1)]
+                    pts = np.asarray(batch["points"][0])
                     draw_bev(
-                        np.asarray(batch["points"][0]),
+                        pts,
                         os.path.join(bev_dir, f"iter_{it:07d}.png"),
+                        gt_boxes=gt,
+                    )
+                    draw_scene_3d(
+                        pts,
+                        os.path.join(s3d_dir, f"iter_{it:07d}.png"),
+                        gt_boxes=gt,
+                    )
+                    dump_scene_html(
+                        pts,
+                        os.path.join(s3d_dir, f"iter_{it:07d}.html"),
                         gt_boxes=gt,
                     )
         # tear the worker pool down NOW (generator close runs its finally)

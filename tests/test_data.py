@@ -395,3 +395,43 @@ def test_sharded_batch_eval_matches_batch1(mini_kitti, tmp_path):
     for f in f1:
         assert (tmp_path / "out1" / f).read_text() == \
             (tmp_path / "out8" / f).read_text()
+
+
+def test_eval_viz_artifacts(mini_kitti, tmp_path):
+    """run_inference_on_split(viz_dir=...) dumps a 3D PNG + interactive
+    HTML (points/GT/predictions) for the first viz_scans scans — the
+    evaluator-side stand-in for the reference's mayavi debugging."""
+    import jax.numpy as jnp
+
+    from ssd3d.eval.predictions import run_inference_on_split
+
+    cfg = load_cfg("/root/repo/configs/kitti/3dssd/3dssd.yaml")
+    cfg.DATASET.KITTI.BASE_DIR_PATH = str(mini_kitti)
+    cfg.DATASET.KITTI.TRAIN_LIST = str(mini_kitti / "train.txt")
+    cfg.DATASET.KITTI.SAVE_NUMPY_PATH = str(tmp_path)
+    cfg.MODEL.POINTS_NUM_FOR_TRAINING = 1024
+    run_preprocess(cfg, "train", log=lambda *a: None)
+    scene = KittiScene(str(mini_kitti), "training")
+
+    def fake_infer(variables, points):
+        ctr = jnp.mean(points[..., :3], axis=1)
+        spread = jnp.std(points[..., :3], axis=1)
+        boxes = jnp.concatenate([ctr, spread + 1.0,
+                                 jnp.zeros_like(ctr[:, :1])], -1)[:, None]
+        scores = jnp.ones(boxes.shape[:2], jnp.float32)
+        return {"boxes": boxes, "scores": scores,
+                "classes": jnp.zeros(scores.shape, jnp.int32),
+                "valid": scores > 0.0}
+
+    loader = KittiLoader(cfg, "train", training=False, seed=0)
+    viz = tmp_path / "viz"
+    run_inference_on_split(
+        cfg, fake_infer, ("Car",), {}, loader, scene,
+        cls_thresh=0.0, log=lambda *a: None,
+        viz_dir=str(viz), viz_scans=2,
+    )
+    pngs = sorted(p for p in os.listdir(viz) if p.endswith(".png"))
+    htmls = sorted(p for p in os.listdir(viz) if p.endswith(".html"))
+    assert len(pngs) == 2 and len(htmls) == 2
+    assert (viz / pngs[0]).read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    assert "const PTS=" in (viz / htmls[0]).read_text()

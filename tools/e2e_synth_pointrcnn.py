@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--iters2", type=int, default=None,
                     help="stage-2 iteration count (default: --iters)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard-mode scenes (occlusion/truncation difficulty "
+                    "spread, Van/DontCare distractors, car-like clutter) so "
+                    "the Car AP cannot saturate; Ped/Cyc instances act as "
+                    "negatives for the Car-only PointRCNN configs")
     ap.add_argument("--out_json", default=None)
     ap.add_argument("--cls_threshold", type=float, default=0.05)
     ap.add_argument("--extra", nargs="*", default=[],
@@ -92,7 +97,8 @@ def main():
 
         print(f"generating {args.train_scans}+{args.val_scans} synthetic "
               f"scans under {data_root}", flush=True)
-        write_tree(data_root, args.train_scans, args.val_scans, n_points)
+        write_tree(data_root, args.train_scans, args.val_scans, n_points,
+                   k_max=8 if args.hard else 5, hard=args.hard)
 
     opts = [
         "DATASET.KITTI.BASE_DIR_PATH", data_root,
@@ -118,6 +124,12 @@ def main():
     run(py + ["ssd3d.bin.train", "--cfg", cfg1, "--log_dir", run1_dir]
         + opts, os.path.join(wd, "train_stage1.log"), env)
 
+    # evaluate the RPN-only stage too: the refinement claim is
+    # "stage-2 AP >= stage-1 AP on the same val set"
+    run(py + ["ssd3d.bin.evaluate", "--cfg", cfg1, "--log_dir", run1_dir,
+              "--once", "--cls_threshold", str(args.cls_threshold)] + opts,
+        os.path.join(wd, "evaluate_stage1.log"), env)
+
     opts2 = opts + ["TRAIN.CONFIG.MAX_ITERATIONS", str(iters2),
                     "TRAIN.CONFIG.CHECKPOINT_INTERVAL", str(ckpt_interval2)]
     run(py + ["ssd3d.bin.train", "--cfg", cfg2, "--log_dir", run2_dir,
@@ -128,14 +140,20 @@ def main():
               "--once", "--cls_threshold", str(args.cls_threshold)] + opts,
         os.path.join(wd, "evaluate.log"), env)
 
-    evals = {}
-    for f in sorted(os.listdir(run2_dir)):
-        if f.startswith("eval_") and f.endswith(".json"):
-            evals[int(f[5:-5])] = json.load(open(os.path.join(run2_dir, f)))
-    best = None
-    best_path = os.path.join(run2_dir, "best.json")
-    if os.path.exists(best_path):
-        best = json.load(open(best_path))
+    def collect(run_dir):
+        evals = {}
+        for f in sorted(os.listdir(run_dir)):
+            if f.startswith("eval_") and f.endswith(".json"):
+                evals[int(f[5:-5])] = json.load(
+                    open(os.path.join(run_dir, f)))
+        best = None
+        best_path = os.path.join(run_dir, "best.json")
+        if os.path.exists(best_path):
+            best = json.load(open(best_path))
+        return evals, best
+
+    evals1, best1 = collect(run1_dir)
+    evals, best = collect(run2_dir)
     warm = ""
     log2 = os.path.join(run2_dir, "log_train.txt")
     if os.path.exists(log2):
@@ -149,6 +167,11 @@ def main():
         "backend": "cpu" if (args.cpu or size == "quick") else
                    env.get("JAX_PLATFORMS", "default"),
         "warm_start": warm,
+        "hard": args.hard,
+        "ap_by_step_stage1": {
+            str(s): e.get("Car", {}).get("3d") for s, e in evals1.items()
+        },
+        "best_stage1": best1,
         "ap_by_step": {
             str(s): e.get("Car", {}).get("3d") for s, e in evals.items()
         },
