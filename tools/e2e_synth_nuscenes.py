@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny config + CPU-sized clouds (CI smoke)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--k_static", type=int, default=3,
+                    help="barrier/traffic-cone instances per scene "
+                    "(raise to rebalance hard classes)")
     ap.add_argument("--out_json", default=None)
     ap.add_argument("--cls_threshold", type=float, default=0.05)
     ap.add_argument("--extra", nargs="*", default=[],
@@ -86,7 +89,8 @@ def main():
 
         print(f"generating {args.scenes} synthetic scenes x {args.samples} "
               f"samples under {raw_root}", flush=True)
-        write_tree(raw_root, args.scenes, args.samples, n_points)
+        write_tree(raw_root, args.scenes, args.samples, n_points,
+                   k_static=args.k_static)
 
     opts = [
         "DATASET.NUSCENES.BASE_DIR_PATH", raw_root,

@@ -156,7 +156,7 @@ def frame_points(rng, objs, ego_pos, t, n_points=12000):
 
 
 def write_tree(root: str, n_scenes=5, samples_per_scene=6, n_points=12000,
-               seed=0, version="v1.0-synth", val_every=5):
+               seed=0, version="v1.0-synth", val_every=5, k_static=3):
     """Write the raw tree; every `val_every`-th scene (sorted by name) goes
     to val via the converter's default rule. Returns the version string."""
     rng = np.random.default_rng(seed)
@@ -196,7 +196,7 @@ def write_tree(root: str, n_scenes=5, samples_per_scene=6, n_points=12000,
     sweep_dt = KEY_DT / (SWEEPS_BETWEEN + 1)
     for si in range(n_scenes):
         scene_name = f"scene-{si + 1:04d}"
-        objs = sample_objects(rng)
+        objs = sample_objects(rng, k_static=k_static)
         inst_tokens = []
         for oi, obj in enumerate(objs):
             tok = f"I{si}_{oi}"
@@ -297,9 +297,12 @@ def main():
     ap.add_argument("--samples", type=int, default=6)
     ap.add_argument("--points", type=int, default=12000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--k_static", type=int, default=3,
+                    help="barrier/traffic-cone instances per scene (raise "
+                    "for hard-class AP convergence studies)")
     args = ap.parse_args()
     version = write_tree(args.root, args.scenes, args.samples, args.points,
-                         args.seed)
+                         args.seed, k_static=args.k_static)
     print(f"wrote {args.scenes} scenes under {args.root}/{version}")
 
 
