@@ -188,3 +188,42 @@ def aabb_iou(boxes_a: Array, boxes_b: Array) -> Array:
     area_b = (boxes_b[..., 2] - boxes_b[..., 0]) * (boxes_b[..., 3] - boxes_b[..., 1])
     union = area_a[..., :, None] + area_b[..., None, :] - inter
     return inter / jnp.maximum(union, 1e-8)
+
+
+def bev_rects_overlap(boxes_a: Array, boxes_b: Array) -> Array:
+    """bool [n, m]: do the rotated BEV footprints overlap with positive
+    area?  Separating-axis test over the 4 rectangle axes — exact for
+    rectangles and ~10x cheaper than the polygon-clip IoU, so collision
+    tests (augmentation paste / per-object noise) don't pay for areas
+    they never read. Edge-touching footprints (intersection area == 0)
+    count as non-overlapping, matching `boxes_iou_bev_3d(...)[0] > 1e-9`.
+    """
+    n, m = boxes_a.shape[0], boxes_b.shape[0]
+
+    def axes(b):
+        c, s = jnp.cos(b[:, 6]), jnp.sin(b[:, 6])
+        # heading (length) axis and width axis in the (x, z) plane, per
+        # the rotate_points_y convention (geometry.boxes_to_corners)
+        return jnp.stack([jnp.stack([c, -s], -1),
+                          jnp.stack([s, c], -1)], 1)  # [k, 2, 2]
+
+    aa, ab = axes(boxes_a), axes(boxes_b)
+    half_a = jnp.stack([boxes_a[:, 3], boxes_a[:, 5]], -1) * 0.5  # [n, 2]
+    half_b = jnp.stack([boxes_b[:, 3], boxes_b[:, 5]], -1) * 0.5
+    d = (jnp.stack([boxes_b[:, 0], boxes_b[:, 2]], -1)[None, :, :]
+         - jnp.stack([boxes_a[:, 0], boxes_a[:, 2]], -1)[:, None, :])
+
+    # the 4 candidate axes per pair: a's two + b's two  [n, m, 4, 2]
+    ax = jnp.concatenate([
+        jnp.broadcast_to(aa[:, None, :, :], (n, m, 2, 2)),
+        jnp.broadcast_to(ab[None, :, :, :], (n, m, 2, 2)),
+    ], axis=2)
+    # half-extent of each rect projected on each axis:
+    #   h = sum_i half[i] * |axis . rect_axis_i|
+    h_a = (jnp.abs(jnp.einsum("nmke,nie->nmki", ax, aa))
+           * half_a[:, None, None, :]).sum(-1)
+    h_b = (jnp.abs(jnp.einsum("nmke,mie->nmki", ax, ab))
+           * half_b[None, :, None, :]).sum(-1)
+    dist = jnp.abs(jnp.einsum("nmke,nme->nmk", ax, d))
+    separated = jnp.any(dist >= h_a + h_b, axis=-1)
+    return ~separated

@@ -119,3 +119,31 @@ def test_augment_batch_jits(rng):
     assert np.isfinite(np.asarray(out["points"])).all()
     out2 = fn(jax.random.PRNGKey(1), batch)
     assert not np.allclose(np.asarray(out["points"]), np.asarray(out2["points"]))
+
+
+def test_bev_rects_overlap_matches_polygon_iou(rng):
+    """SAT overlap == (polygon-clip BEV IoU > 0) on random rotated boxes
+    (collision tests consume only the boolean)."""
+    from ssd3d.core.iou import bev_rects_overlap, boxes_iou_bev_3d
+
+    boxes_a = random_boxes(rng, 40)
+    boxes_b = random_boxes(rng, 30)
+    sat = np.asarray(bev_rects_overlap(jnp.asarray(boxes_a),
+                                       jnp.asarray(boxes_b)))
+    iou, _ = boxes_iou_bev_3d(jnp.asarray(boxes_a), jnp.asarray(boxes_b))
+    ref = np.asarray(iou) > 1e-9
+    # tolerate disagreement only within float slack of exact tangency
+    disagree = sat != ref
+    assert disagree.mean() < 0.01, f"{disagree.sum()} disagreements"
+
+
+def test_paste_slots_unique():
+    """The coprime-stride slot draw covers k*p distinct slots (n = 2^m)."""
+    import jax
+
+    n, k, p = 16384, 13, 512
+    r_start, r_step = jax.random.split(jax.random.PRNGKey(7))
+    start = jax.random.randint(r_start, (), 0, n)
+    step = jax.random.randint(r_step, (), 0, n // 2) * 2 + 1
+    slots = np.asarray((start + jnp.arange(k * p) * step) % n)
+    assert len(np.unique(slots)) == k * p
