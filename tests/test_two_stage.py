@@ -173,3 +173,105 @@ def test_only_first_stage():
     state, metrics = jax.jit(graph.train_step)(state, batch, jax.random.PRNGKey(1))
     assert all(k.startswith("loss_stage0/") or k in ("total", "lr") for k in metrics)
     assert np.isfinite(float(metrics["total"]))
+
+
+@pytest.fixture(scope="module")
+def two_stage_pp():
+    """Same shrunk PointRCNN config but with the STD voxelizing pooler
+    (PointsPool: interior points -> l*h*w grid + VFE, reference
+    points_pooler.py:64) so the RCNN consumes voxel pillars, not raw
+    interior points."""
+    cfg = prcnn_cfg()
+    cfg.MODEL.NETWORK.FIRST_STAGE.POINTS_POOLER = [
+        "PointsPool", ["mask", "dist"], [8], 64, 1.0, [4, 4, 4, 4], [8],
+        True, "roi_pool",
+    ]
+    model, rpn_spec, rcnn_spec = build_two_stage(cfg, nms_pre_topk=256)
+    batch = make_batch(np.random.RandomState(2))
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["points"], False, 0.9, rpn_spec=rpn_spec
+    )
+    return cfg, model, rpn_spec, rcnn_spec, variables, batch
+
+
+def test_points_pool_forward_shapes(two_stage_pp):
+    """PointsPool hands the RCNN one point per voxel (l*h*w of them), with
+    voxel-center xyz as the pillar coordinates."""
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage_pp
+    out = model.apply(variables, batch["points"], False, 0.9, rpn_spec=rpn_spec)
+    p = cfg.MODEL.FIRST_STAGE.MAX_OUTPUT_NUM
+    assert out["proposals"].shape == (1, p, 7)
+    assert out["cls"].shape == (1, p, 2)
+    assert bool(jnp.isfinite(out["cls"]).all())
+    det = rcnn_spec.final_detections(out)
+    assert det["boxes"].shape == (1, cfg.MODEL.SECOND_STAGE.MAX_OUTPUT_NUM, 7)
+    assert bool(jnp.isfinite(det["boxes"]).all())
+
+
+def test_points_pool_voxel_semantics():
+    """Oracle check of the pooler itself: points dropped into a known box
+    land in the right voxel cells, empty voxels stay zeroed, and the voxel
+    centers tile the canonical box frame."""
+    from ssd3d.models.two_stage import PointsPool
+
+    pool = PointsPool(
+        sample_pts_num=32, context_range=1.0, info_keys=("mask", "dist"),
+        align_channels=(4,), grid=(2, 2, 2, 4), vfe_channels=(4,), bn=False,
+    )
+    # one axis-aligned proposal: bottom-ctr (0, 1, 10), l=4 h=2 w=4, ry=0.
+    # expand_boxes adds the 1.0 context -> grid frame is l=5 h=3 w=5,
+    # canonical x/z in [-2.5, 2.5], y in [-3, 0].
+    proposals = jnp.asarray([[[0.0, 1.0, 10.0, 4.0, 2.0, 4.0, 0.0]]])
+    # two interior points in distinct canonical octants + one far outlier
+    pts = jnp.asarray([[
+        [-1.0, 0.5, 9.0, 0.0],   # canonical (-1, -0.5, -1) -> vox (0,1,0)=2
+        [1.0, -1.0, 11.0, 0.0],  # canonical (1, -2, 1)     -> vox (1,0,1)=5
+        [50.0, 0.0, 50.0, 0.0],  # outside
+    ]])
+    feats = jnp.ones((1, 3, 2), jnp.float32)
+    mask = jnp.asarray([[[1.0], [1.0], [0.0]]])
+    variables = pool.init(jax.random.PRNGKey(0), pts[..., :3], feats, mask,
+                          proposals, False)
+    out, has = pool.apply(variables, pts[..., :3], feats, mask, proposals,
+                          False)
+    gl = gh = gw = 2
+    assert out.shape == (1, gl * gh * gw, 3 + 4)  # vox ctr + vfe channels
+    assert int(has.sum()) == 1  # the proposal contains points
+    ctrs = np.asarray(out[0, :, :3])
+    # voxel centers tile the EXPANDED box: x/z at +-1.25, y at -2.25/-0.75
+    assert sorted(set(np.round(ctrs[:, 0], 3))) == [-1.25, 1.25]
+    assert sorted(set(np.round(ctrs[:, 1], 3))) == [-2.25, -0.75]
+    assert sorted(set(np.round(ctrs[:, 2], 3))) == [-1.25, 1.25]
+    # only the two voxels holding the interior points may carry features;
+    # every other voxel is exactly zeroed by the occupancy mask
+    feat_norm = np.abs(np.asarray(out[0, :, 3:])).sum(-1)
+    empty = [i for i in range(gl * gh * gw) if i not in (2, 5)]
+    np.testing.assert_array_equal(feat_norm[empty], 0.0)
+
+
+@pytest.mark.slow
+def test_points_pool_train_step(two_stage_pp):
+    """A full two-stage train step through the PointsPool path: losses
+    finite, and repeating the step overfits the fixed batch."""
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage_pp
+    cfg = cfg.clone()
+    cfg.TRAIN.CONFIG.TRAIN_PARAM_PREFIX = []
+    cfg.TRAIN.CONFIG.TRAIN_LOSS_PREFIX = []
+    graph = TwoStageGraph.build(cfg, model, rpn_spec, rcnn_spec)
+    state = graph.init_state(jax.random.PRNGKey(0), batch["points"])
+    step = jax.jit(graph.train_step)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def stage0(m):
+        return sum(float(v) for k, v in m.items() if k.startswith("loss_stage0/"))
+
+    first = stage0(metrics)
+    for _ in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+    # the RPN overfits the fixed batch; the total can transiently rise as
+    # stage-2 losses switch on once proposals start overlapping GT
+    assert stage0(metrics) < first
