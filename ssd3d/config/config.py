@@ -180,8 +180,15 @@ def get_default_cfg() -> Config:
     c.DATA_LOADER = Config(NUM_THREADS=4, NUM_PROCS=-1)
 
     # BATCH_SIZE is an ssd3d extension (reference eval is strictly batch-1):
-    # >1 shards the eval forward's batch axis over all visible devices
-    c.TEST = Config(WITH_GT=True, TEST_MODE="mAP", BATCH_SIZE=1)
+    # >1 shards the eval forward's batch axis over all visible devices.
+    # RCNN_INFER_CHUNK bounds two-stage inference HBM: the RCNN refines the
+    # FIRST_STAGE.MAX_OUTPUT_NUM proposals in lax.map chunks of (the largest
+    # divisor of the proposal count <=) this many at a time instead of
+    # materializing the full [p, sample_pts, nsample, C] pooled-gather tensor
+    # (e.g. 1000 proposals -> 2x ~11.7 GiB buffers on a 16 GiB chip).
+    # 0 disables chunking.
+    c.TEST = Config(WITH_GT=True, TEST_MODE="mAP", BATCH_SIZE=1,
+                    RCNN_INFER_CHUNK=256)
 
     # ------------------------------------------------------------------ model
     def _stage_cfg(first_stage: bool) -> Config:

@@ -37,24 +37,63 @@ def build_pipeline(cfg, nms_pre_topk: int = 2048) -> Pipeline:
         )
         graph = TwoStageGraph.build(cfg, model, rpn_spec, rcnn_spec)
         only_first = cfg.MODEL.ONLY_FIRST_STAGE
+        chunk_limit = cfg.TEST.RCNN_INFER_CHUNK
 
         def infer(variables, points):
+            import jax.numpy as jnp
+
             if only_first:
                 rpn_out = model.apply(
                     variables, points, False, 0.9, method="rpn"
                 )
                 boxes, scores, valid = rpn_spec.propose(rpn_out)
-                import jax.numpy as jnp
-
                 return {
                     "boxes": boxes,
                     "scores": scores,
                     "classes": jnp.zeros(scores.shape, jnp.int32),
                     "valid": valid,
                 }
-            out = model.apply(
-                variables, points, False, 0.9, rpn_spec=rpn_spec
-            )
+            # Decomposed test-mode forward (same semantics as
+            # TwoStageDetector.__call__) so the RCNN can run over proposal
+            # chunks: refining all MAX_OUTPUT_NUM proposals at once
+            # materializes the pooled neighbour gather for every proposal
+            # simultaneously, which exceeds single-chip HBM at the shipped
+            # 1000-proposal setting (two ~11.7 GiB buffers measured).
+            rpn_out = model.apply(variables, points, False, 0.9, method="rpn")
+            proposals, scores, valid = rpn_spec.propose(rpn_out)
+            base_mask = (
+                jax.nn.sigmoid(jnp.max(rpn_out["cls"], axis=-1, keepdims=True))
+                >= 0.5
+            ).astype(jnp.float32)
+
+            def run_rcnn(prop):
+                return model.apply(
+                    variables, rpn_out["base_xyz"], rpn_out["feature"],
+                    base_mask, prop, False, 0.9, method="rcnn",
+                )
+
+            p = proposals.shape[1]
+            chunk = max(
+                (d for d in range(1, min(chunk_limit, p) + 1) if p % d == 0),
+                default=p,
+            ) if chunk_limit else p
+            if chunk < p:
+                n = p // chunk
+                stacked = proposals.reshape(
+                    proposals.shape[0], n, chunk, proposals.shape[-1]
+                ).transpose(1, 0, 2, 3)  # [n, bs, chunk, 7]
+                mapped = jax.lax.map(run_rcnn, stacked)
+                out = jax.tree.map(
+                    lambda x: jnp.moveaxis(x, 0, 1).reshape(
+                        x.shape[1], n * x.shape[2], *x.shape[3:]
+                    ),
+                    mapped,
+                )
+            else:
+                out = run_rcnn(proposals)
+            out["proposals"] = proposals
+            out["proposal_scores"] = scores
+            out["proposal_valid"] = valid
             return rcnn_spec.final_detections(out)
 
         return Pipeline(cfg, model, graph, infer, rpn_spec.cls_list)

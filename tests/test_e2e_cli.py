@@ -266,3 +266,31 @@ def test_cli_pointrcnn_stagewise(tmp_path):
               "--cls_threshold", "0.01"] + opts, env)
     final = json.load(open(os.path.join(run2, "eval_30.json")))
     assert final["total"] > 0 and np.isfinite(final["recall"])
+
+    # STD variant: the same stage-2 recipe but with the PointsPool
+    # voxelizing pooler (configs/kitti/std/std_stage2.yaml's pooler row,
+    # reference points_pooler.py:64), warm-started from the same stage-1
+    # run. Proves the STD chain trains through the real CLI.
+    run3 = str(tmp_path / "run_std")
+    std_opts = opts + [
+        "MODEL.NETWORK.FIRST_STAGE.POINTS_POOLER",
+        "['PointsPool', ['mask', 'dist'], [16], 64, 1.0, [4, 4, 4, 4], "
+        "[16], True, 'roi_pool']",
+    ]
+    _run_cli("ssd3d.bin.train", ["--cfg", cfg2, "--log_dir", run3,
+                                 "--restore_model_path", run1] + std_opts,
+             env)
+    metrics = [json.loads(l)
+               for l in open(os.path.join(run3, "metrics.jsonl"))]
+    assert metrics and all(np.isfinite(m["total"]) for m in metrics)
+    raw3, _ = CheckpointManager(os.path.join(run3, "ckpt")).restore_raw()
+    flat3 = dict(jax.tree_util.tree_flatten_with_path(raw3["params"])[0])
+    # the PointsPool VFE scopes exist and trained under the 'roi' prefix
+    assert any("roi_pool" in jax.tree_util.keystr(p) and
+               ("vfe" in jax.tree_util.keystr(p) or
+                "align" in jax.tree_util.keystr(p)) for p in flat3)
+    _run_cli("ssd3d.bin.evaluate",
+             ["--cfg", cfg2, "--log_dir", run3, "--once",
+              "--cls_threshold", "0.01"] + std_opts, env)
+    final = json.load(open(os.path.join(run3, "eval_30.json")))
+    assert final["total"] > 0 and np.isfinite(final["recall"])

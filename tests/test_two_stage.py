@@ -175,6 +175,30 @@ def test_only_first_stage():
     assert np.isfinite(float(metrics["total"]))
 
 
+def test_chunked_rcnn_infer_matches_unchunked(two_stage):
+    """TEST.RCNN_INFER_CHUNK bounds inference HBM by lax.map-ing the RCNN
+    over proposal chunks; the detections must match the all-at-once path
+    (the full-proposal pooled gather OOMs a 16 GiB chip at the shipped
+    1000-proposal setting)."""
+    from ssd3d.models.api import build_pipeline
+
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage
+    cfg_full = cfg.clone()
+    cfg_full.TEST.RCNN_INFER_CHUNK = 0
+    cfg_chunk = cfg.clone()
+    cfg_chunk.TEST.RCNN_INFER_CHUNK = 8  # 32 proposals -> 4 chunks
+    pipe_full = build_pipeline(cfg_full, nms_pre_topk=256)
+    pipe_chunk = build_pipeline(cfg_chunk, nms_pre_topk=256)
+    det_full = jax.jit(pipe_full.infer)(variables, batch["points"])
+    det_chunk = jax.jit(pipe_chunk.infer)(variables, batch["points"])
+    assert set(det_full) == set(det_chunk)
+    for k in det_full:
+        np.testing.assert_allclose(
+            np.asarray(det_full[k]), np.asarray(det_chunk[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
 @pytest.fixture(scope="module")
 def two_stage_pp():
     """Same shrunk PointRCNN config but with the STD voxelizing pooler
@@ -194,6 +218,7 @@ def two_stage_pp():
     return cfg, model, rpn_spec, rcnn_spec, variables, batch
 
 
+@pytest.mark.slow
 def test_points_pool_forward_shapes(two_stage_pp):
     """PointsPool hands the RCNN one point per voxel (l*h*w of them), with
     voxel-center xyz as the pillar coordinates."""
