@@ -90,57 +90,100 @@ def _excl_prefix(x: Array) -> Array:
     return out.astype(x.dtype)
 
 
+def _excl_prefix_axis(x: Array, axis: int) -> Array:
+    """_excl_prefix over an arbitrary axis (same triangular-matmul form,
+    contraction placed on `axis` so no transposes are materialized —
+    query-trailing callers scan a leading/middle axis)."""
+    k = x.shape[axis]
+    tri = jnp.triu(jnp.ones((k, k), jnp.float32), k=1)
+    xf = x.astype(jnp.float32)
+    letters = "abcdefgh"[: x.ndim]
+    src = letters[:axis] + "z" + letters[axis + 1:]
+    out = jnp.einsum(
+        f"z{letters[axis]},{src}->{letters}", tri, xf,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(x.dtype)
+
+
 def _select_from_words(words: Array, nsample: int, n: int,
                        blk_cnt: Array | None = None):
-    """First-k selection from packed block bitmasks. words: [m, nb, wpb]
-    (wpb 16-bit words per block, block size = 16*wpb points); blk_cnt
-    [m, nb] optionally precomputed (the ring-words Pallas kernel emits it;
-    otherwise derived from popcounts here).
+    """First-k selection from packed block bitmasks, query-major
+    convenience form. words: [m, nb, wpb]; blk_cnt [m, nb] optional.
+    Thin adapter over the query-TRAILING implementation (the layout the
+    TPU hot path uses natively); the transposes here only cost on the
+    jnp fallback path."""
+    w_t = jnp.transpose(words, (1, 2, 0))
+    c_t = None if blk_cnt is None else jnp.transpose(blk_cnt, (1, 0))
+    return _select_from_words_t(w_t, nsample, n, c_t)
 
-    Exactness on TPU: any matmul whose OPERAND values exceed 256 must run at
-    Precision.HIGHEST — the default single bf16 pass truncates the operand
-    (e.g. prefix values near 16384 round to multiples of 128, packed words
-    near 65535 round to 65536), which silently corrupts the selection. This
-    was observed on hardware: 4/4096 queries returned wrong neighbors at
-    n=16384 before the HIGHEST pins below."""
-    m, nb, wpb = words.shape
+
+def _select_from_words_t(words: Array, nsample: int, n: int,
+                         blk_cnt: Array | None = None):
+    """First-k selection from packed block bitmasks, query axis TRAILING.
+
+    words: [nb, wpb, m] (wpb 16-bit words per block, block size = 16*wpb
+    points, m queries); blk_cnt [nb, m] optionally precomputed (the
+    ring-words Pallas kernel emits it; otherwise derived from popcounts
+    here). Returns (idx [m, nsample], cnt [m]).
+
+    Why trailing: at m=4096 queries the per-slot dots here are thousands
+    of tiny batched matmuls, and the TPU emitter lays their operands
+    batch-in-lanes (m minor). Keeping m as the minor axis of EVERY
+    intermediate lets the Pallas words/counts outputs flow in, and the
+    dots flow on, with zero layout-assignment copies — the query-major
+    form cost three 134 MB relayout copies per step at the flagship
+    layer-1 scale (tools/dump_hlo.py).
+
+    Exactness on TPU: any matmul whose OPERAND values exceed 256 must run
+    at Precision.HIGHEST — the default single bf16 pass truncates the
+    operand (e.g. prefix values near 16384 round to multiples of 128,
+    packed words near 65535 round to 65536), which silently corrupts the
+    selection. Observed on hardware: 4/4096 queries returned wrong
+    neighbors at n=16384 before the HIGHEST pins below."""
+    nb, wpb, m = words.shape
     W = 16
     BS = wpb * W
     if blk_cnt is None:
         pops = jax.lax.population_count(
             words.astype(jnp.uint32)
         ).astype(jnp.int32)
-        blk_cnt = jnp.sum(pops, axis=-1)  # [m, nb] values <= BS
+        blk_cnt = jnp.sum(pops, axis=1)  # [nb, m] values <= BS
     else:
         blk_cnt = blk_cnt.astype(jnp.int32)
-    prefix = _excl_prefix(blk_cnt)  # exclusive [m, nb]
+    prefix = _excl_prefix_axis(blk_cnt, 0)  # exclusive over nb: [nb, m]
     slots = jnp.arange(nsample, dtype=jnp.int32)
 
     # slot s lives in the LAST block whose prefix <= s (empty blocks have
     # zero count, so overshooting them is harmless)
-    le = prefix[:, :, None] <= slots[None, None, :]  # [m, nb, ns]
-    blk_of = jnp.sum(le, axis=1, dtype=jnp.int32) - 1  # [m, ns]
+    le = prefix[:, None, :] <= slots[None, :, None]  # [nb, ns, m]
+    blk_of = jnp.sum(le, axis=0, dtype=jnp.int32) - 1  # [ns, m]
     # prefix is nondecreasing, so the selected (= last le-true) block's
     # prefix is the masked maximum — one more reduce over the same le
-    # tensor, fused with the blk_of reduce (replaces a batched one-hot
-    # matvec whose operand layouts forced relayout copies)
-    prefix_s = jnp.max(jnp.where(le, prefix[:, :, None], 0), axis=1)
-    offset = slots[None, :] - prefix_s  # rank within block
-    onehot = jax.nn.one_hot(blk_of, nb, dtype=jnp.float32)  # [m, ns, nb]
+    # tensor, fused with the blk_of reduce
+    prefix_s = jnp.max(jnp.where(le, prefix[:, None, :], 0), axis=0)
+    offset = slots[:, None] - prefix_s  # [ns, m] rank within block
+    b_iota = jnp.arange(nb, dtype=jnp.int32)
+    onehot = (b_iota[:, None, None] == blk_of[None]).astype(jnp.float32)
     words_s = jnp.einsum(
-        "msb,mbw->msw", onehot, words, preferred_element_type=jnp.float32,
+        "bsm,bwm->swm", onehot, words, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,  # word values up to 65535
-    )  # [m, ns, wpb] packed bitmasks of the chosen block
-    pops_s = jax.lax.population_count(words_s.astype(jnp.uint32)).astype(jnp.int32)
-    exc = _excl_prefix(pops_s)  # exclusive per-word prefix (values <= BS)
-    w_of = jnp.sum((exc <= offset[..., None]).astype(jnp.int32), axis=-1) - 1
+    )  # [ns, wpb, m] packed bitmasks of the chosen block
+    pops_s = jax.lax.population_count(
+        words_s.astype(jnp.uint32)
+    ).astype(jnp.int32)
+    exc = _excl_prefix_axis(pops_s, 1)  # exclusive over wpb: [ns, wpb, m]
+    w_of = jnp.sum(
+        (exc <= offset[:, None, :]).astype(jnp.int32), axis=1
+    ) - 1  # [ns, m]
     w_iota = jnp.arange(wpb, dtype=jnp.int32)
-    sel = w_iota[None, None, :] == w_of[..., None]
-    rank = offset - jnp.sum(jnp.where(sel, exc, 0), axis=-1)  # rank in word
-    word = jnp.sum(jnp.where(sel, words_s, 0.0), axis=-1).astype(jnp.uint32)
+    sel = w_iota[None, :, None] == w_of[:, None, :]  # [ns, wpb, m]
+    rank = offset - jnp.sum(jnp.where(sel, exc, 0), axis=1)  # rank in word
+    word = jnp.sum(jnp.where(sel, words_s, 0.0), axis=1).astype(jnp.uint32)
 
-    # position of the (rank+1)-th set bit in a 16-bit word: binary search by
-    # popcount of the low half at each step
+    # position of the (rank+1)-th set bit in a 16-bit word: binary search
+    # by popcount of the low half at each step
     pos = jnp.zeros_like(rank)
     for half in (8, 4, 2, 1):
         lowmask = jnp.uint32((1 << half) - 1)
@@ -154,12 +197,11 @@ def _select_from_words(words: Array, nsample: int, n: int,
     idx = jnp.minimum(blk_of * BS + local_j, n - 1).astype(jnp.int32)
 
     # CUDA breaks at nsample, so the reported count is capped
-    total = prefix[:, -1] + blk_cnt[:, -1]
+    total = prefix[-1] + blk_cnt[-1]  # [m]
     cnt = jnp.minimum(total, nsample).astype(jnp.int32)
-    slot = jnp.arange(nsample, dtype=jnp.int32)[None, :]
-    idx = jnp.where(slot < cnt[:, None], idx, idx[:, :1])
-    idx = jnp.where(cnt[:, None] > 0, idx, 0)
-    return idx, cnt
+    idx = jnp.where(slots[:, None] < cnt[None, :], idx, idx[:1])
+    idx = jnp.where(cnt[None, :] > 0, idx, 0)
+    return jnp.transpose(idx, (1, 0)), cnt
 
 
 def _chunked_query(points: Array, queries: Array, valid_fn, nsample: int):
@@ -249,15 +291,17 @@ def ball_query_multi(
         # gradient); also required for grad tracing through the Pallas call
         words_list, cnts_list = ring_words_pallas(
             jax.lax.stop_gradient(xyz), jax.lax.stop_gradient(new_xyz), rings
-        )  # per ring: words [b, m, n/16], counts [b, n/BLOCK, m]
+        )  # per ring: words [b, n/16, m], counts [b, n/BLOCK, m]
         b, m = new_xyz.shape[:2]
         outs = []
         for k, (_, _, ns, _) in enumerate(specs):
-            wk = words_list[k].reshape(b, m, n // BLOCK, BLOCK // 16)
-            ck = jnp.transpose(cnts_list[k], (0, 2, 1))  # [b, m, nb]
+            # both kernel outputs are query-trailing; the (nb, wpb) split
+            # of the word axis is a non-minor reshape, so everything
+            # reaches the query-trailing selection as a pure bitcast
+            wk = words_list[k].reshape(b, n // BLOCK, BLOCK // 16, m)
             idx, cnt = jax.vmap(
-                lambda w, c, ns=ns: _select_from_words(w, ns, n, c)
-            )(wk, ck)
+                lambda w, c, ns=ns: _select_from_words_t(w, ns, n, c)
+            )(wk, cnts_list[k])
             outs.append((idx, cnt))
         return outs
 

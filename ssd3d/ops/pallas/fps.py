@@ -225,7 +225,7 @@ def ffps_pallas_pre(mat: Array, npoint: int) -> Array:
 
 
 def _ffps_hbm_kernel(n: int, m: int, b: int, mat_ref, out_ref,
-                     dist_ref, row_ref, sem):
+                     dist_ref, block_ref, sem):
     """F-FPS with the distance matrix resident in HBM: only the picked
     point's row is DMA'd into VMEM each iteration. All batch elements
     advance together so their row DMAs issue back-to-back and the
@@ -233,41 +233,55 @@ def _ffps_hbm_kernel(n: int, m: int, b: int, mat_ref, out_ref,
     be prefetched — overlapping ACROSS clouds is the available
     parallelism).
 
-    mat_ref: ANY [b, 8, n·(n/8)] — the s-major matrix with (j, l) flattened
-    so the row of point j is the LANE slice [c, :, j·cols : (j+1)·cols]
-    (cols is a multiple of 128, so the dynamic lane offset is tile-aligned;
-    slicing the tiled j dim of a 4-D HBM memref is rejected by Mosaic).
-    out_ref: SMEM [b, m]; dist_ref: VMEM [b, 8, n/8]; row_ref: VMEM
-    [b, 8, n/8]; sem: DMA semaphore array [b].
+    mat_ref: ANY [b, n/8, 8, n] — a pure bitcast view of the square
+    matrix exactly as the pairwise einsum emits it ([b, p, t], t minor,
+    (8,128)-tiled over (p, t)). The view's minor (8, n) dims keep that
+    tiling, so no relayout is needed — the old s-major flat contract
+    re-tiled the buffer, which XLA satisfied with a full-matrix layout
+    copy (537 MB/step measured on the flagship's 4096-point segment,
+    tools/dump_hlo.py). The cost of tiling-compatibility: a single row
+    cannot be sliced out of HBM (a tile spans 8 rows; Mosaic rejects
+    extent-1 sublane slices), so each iteration DMAs the ALIGNED 8-row
+    block containing the pick (p//8 indexes an untiled dim) and isolates
+    row p%8 in VMEM with a masked sublane-min — 8x the DMA bytes of a
+    bare row, still ~5x cheaper than the relayout copy it replaces.
+    The per-point dist state is batched over clouds ([b, n], b in
+    sublanes) so the min/argmax run once per iteration for the whole
+    batch.
+    out_ref: SMEM [b, m]; dist_ref: VMEM [b, n]; block_ref: VMEM
+    [b, 8, n]; sem: DMA semaphore array [b].
     """
-    cols = n // _SUBLANES
-    linear = (
-        jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 0) * cols
-        + jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, cols), 1)
-    )
-    dist_ref[:] = jnp.full((b, _SUBLANES, cols), jnp.inf, jnp.float32)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n), 0)
+    linear = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    dist_ref[:] = jnp.full((b, n), jnp.inf, jnp.float32)
     for c in range(b):
         out_ref[c, 0] = 0
 
     def body(j, last):
         copies = []
         for c in range(b):
-            off = pl.multiple_of(last[c] * cols, 128)
             cp = pltpu.make_async_copy(
-                mat_ref.at[c, :, pl.ds(off, cols)], row_ref.at[c],
+                mat_ref.at[c, last[c] // _SUBLANES], block_ref.at[c],
                 sem.at[c],
             )
             cp.start()
             copies.append(cp)
-        nxt = []
+        rows = []
         for c in range(b):
             copies[c].wait()
-            dist = jnp.minimum(dist_ref[c], row_ref[c])
-            dist_ref[c] = dist
-            vmax = jnp.max(dist)
-            best = jnp.min(jnp.where(dist == vmax, linear, jnp.int32(n)))
-            out_ref[c, j] = best
-            nxt.append(best)
+            r = last[c] % _SUBLANES
+            rows.append(jnp.min(
+                jnp.where(sub_iota == r, block_ref[c], jnp.inf), axis=0
+            ))
+        dist = jnp.minimum(dist_ref[:], jnp.stack(rows))  # [b, n]
+        dist_ref[:] = dist
+        vmax = jnp.max(dist, axis=1, keepdims=True)       # [b, 1]
+        cand = jnp.where(dist == vmax, linear, jnp.int32(n))
+        best = jnp.min(cand, axis=1)                      # [b]
+        nxt = []
+        for c in range(b):
+            out_ref[c, j] = best[c]
+            nxt.append(best[c])
         return tuple(nxt)
 
     jax.lax.fori_loop(1, m, body, (jnp.int32(0),) * b)
@@ -280,24 +294,17 @@ def ffps_pallas_hbm(dist: Array, npoint: int) -> Array:
     iteration streams just the picked row (n*4 bytes) per cloud.
 
     dist: [b, n, n] float32 -> int32 [b, npoint]."""
-    b, n, _ = dist.shape
-    assert n % _SUBLANES == 0, n
-    cols = n // _SUBLANES
-    mat = jnp.transpose(
-        dist.astype(jnp.float32).reshape(b, n, _SUBLANES, cols), (0, 2, 1, 3)
-    )
-    return ffps_pallas_hbm_pre(mat, npoint)
+    return ffps_pallas_hbm_rows(dist.astype(jnp.float32), npoint)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def ffps_pallas_hbm_pre(mat: Array, npoint: int) -> Array:
-    """HBM-streaming F-FPS over an s-major tiled matrix [b, 8, n, n/8]
-    (see _ffps_kernel for why callers pre-tile in this order). Requires
-    n/8 % 128 == 0 (the in-kernel row slice is a lane slice)."""
-    b, n = mat.shape[0], mat.shape[2]
-    cols = n // _SUBLANES
-    assert cols % 128 == 0, (n, cols)
-    flat = mat.reshape(b, _SUBLANES, n * cols)  # row-major: pure bitcast
+def ffps_pallas_hbm_rows(mat: Array, npoint: int) -> Array:
+    """HBM-streaming F-FPS over the square matrix [b, n, n] in its native
+    row-major layout (see _ffps_hbm_kernel for why any view that re-tiles
+    the minor axis forces a full-matrix relayout copy). Requires
+    n % 128 == 0 (the streamed row blocks are lane vectors)."""
+    b, n = mat.shape[0], mat.shape[1]
+    assert n % 128 == 0, n
 
     kernel = functools.partial(_ffps_hbm_kernel, n, npoint, b)
     return pl.pallas_call(
@@ -308,14 +315,14 @@ def ffps_pallas_hbm_pre(mat: Array, npoint: int) -> Array:
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((b, _SUBLANES, cols), jnp.float32),
-            pltpu.VMEM((b, _SUBLANES, cols), jnp.float32),
+            pltpu.VMEM((b, n), jnp.float32),
+            pltpu.VMEM((b, _SUBLANES, n), jnp.float32),
             pltpu.SemaphoreType.DMA((b,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(flat)
+    )(mat.reshape(b, n // _SUBLANES, _SUBLANES, n))
 
 
 def fps_pallas(xyz: Array, npoint: int) -> Array:

@@ -44,8 +44,9 @@ _NCHUNK = 16384  # points per grid slab (keeps the words block <= 1 MB/ring)
 
 def _kernel(nchunk: int, rings: tuple, q_ref, pts_ref, *refs):
     """q_ref: [1, QT, 3]; pts_ref: [1, 3, nchunk]; refs: per ring a words ref
-    [1, QT, nchunk/16], then per ring a counts ref [1, nchunk/BLOCK, QT], then
-    the [NB, NB//W] constant-bit-matrix VMEM scratch (filled here)."""
+    [1, nchunk/16, QT] (TRANSPOSED — see ring_words_pallas), then per ring a
+    counts ref [1, nchunk/BLOCK, QT], then the [NB, NB//W]
+    constant-bit-matrix VMEM scratch (filled here)."""
     nblocks = nchunk // _NB
     wpb = _NB // _W  # words per inner block
     bpb = _NB // BLOCK  # count blocks per inner block
@@ -80,12 +81,14 @@ def _kernel(nchunk: int, rings: tuple, q_ref, pts_ref, *refs):
             if self_incl:
                 valid = valid | (d2 == 0.0)
             vb = valid.astype(jnp.bfloat16)
-            words = jnp.dot(
-                vb, pmat, preferred_element_type=jnp.float32
-            )  # [QT, wpb] exact
-            words_refs[k][0, :, pl.ds(pl.multiple_of(b * wpb, 128), wpb)] = (
-                words
-            )
+            # transposed words straight off the MXU ([wpb, QT], queries in
+            # lanes) — matches the transposed output block, so neither the
+            # kernel nor XLA ever relayouts the words
+            words_t = jax.lax.dot_general(
+                pmat, vb, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [wpb, QT] exact
+            words_refs[k][0, pl.ds(b * wpb, wpb), :] = words_t
             cnts = jax.lax.dot_general(
                 cmat, vb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -99,8 +102,12 @@ def _kernel(nchunk: int, rings: tuple, q_ref, pts_ref, *refs):
 @functools.partial(jax.jit, static_argnums=(2,))
 def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple):
     """xyz: [b, n, 3]; new_xyz: [b, m, 3]; rings: ((lo2, hi2, self), ...)
-    -> (words per ring: f32 [b, m, n/16], counts per ring: f32 [b, n/BLOCK, m]
-    transposed)."""
+    -> (words per ring: f32 [b, n/16, m], counts per ring: f32
+    [b, n/BLOCK, m]) — BOTH query-trailing. The select machinery
+    (_select_from_words_t) is written query-trailing, so the kernel
+    outputs feed it in their default layouts; the query-major words
+    emission cost three 134 MB layout-assignment copies per step at the
+    flagship layer-1 scale (tools/dump_hlo.py)."""
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     assert n % _NB == 0, n
@@ -123,10 +130,10 @@ def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple):
 
     kernel = functools.partial(_kernel, nchunk, tuple(rings))
     out_shapes = [
-        jax.ShapeDtypeStruct((b, mp, n // _W), jnp.float32) for _ in range(R)
+        jax.ShapeDtypeStruct((b, n // _W, mp), jnp.float32) for _ in range(R)
     ] + [jax.ShapeDtypeStruct((b, nbt, mp), jnp.float32) for _ in range(R)]
     out_specs = [
-        pl.BlockSpec((1, _QT, wpc), lambda i, j, c: (i, j, c),
+        pl.BlockSpec((1, wpc, _QT), lambda i, j, c: (i, c, j),
                      memory_space=pltpu.VMEM)
         for _ in range(R)
     ] + [
@@ -147,6 +154,6 @@ def ring_words_pallas(xyz: Array, new_xyz: Array, rings: tuple):
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((_NB, _NB // _W), jnp.float32)],
     )(q, pts_t)
-    words = [w[:, :m] for w in outs[:R]]
+    words = [w[:, :, :m] for w in outs[:R]]
     cnts = [c[:, :, :m] for c in outs[R:]]
     return words, cnts

@@ -127,34 +127,45 @@ def farthest_point_sample_features(fused: Array, npoint: int) -> Array:
     if jax.default_backend() == "tpu" and n % 8 == 0:
         f = fused.astype(jnp.float32)
         cols = n // 8
-        # d2[b, s, j, l] = |f_j - f_{s*cols+l}|^2 : the row-major n -> (8,
-        # n/8) split matches _ffps_kernel's linear = s * cols + l indexing,
-        # and the s-above-j output order is the layout the TPU dot emitter
-        # prefers for this einsum — natural {3,2,1,0}, hence copy-free
-        # (the j-major order costs a full-matrix relayout copy).
-        ft = f.reshape(b, 8, cols, c)
+        sq = jnp.sum(f * f, axis=-1)  # [b, n]
+        nbytes = b * n * n * 4
         # HIGH (bf16x3 passes, ~f32-grade error) not HIGHEST (bf16x6): the
         # x6 emulation lowers to a dilated-convolution emitter that measured
         # 121 ms standalone at the flagship 4096-segment vs 6.6 ms for x3,
         # and x3 keeps every F-FPS pick unique (the degeneracy that forced
         # precision control appears only at single-pass bf16)
-        cross = jnp.einsum(
-            "bnc,bskc->bsnk", f, ft,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
-        )
-        sq = jnp.sum(f * f, axis=-1)  # [b, n]
-        mat = (sq[:, None, :, None] + sq.reshape(b, 8, cols)[:, :, None, :]
-               - 2.0 * cross)
-        nbytes = b * n * n * 4
         if nbytes <= 80 * 2**20:
+            # d2[b, s, j, l] = |f_j - f_{s*cols+l}|^2 : the row-major n ->
+            # (8, n/8) split matches _ffps_kernel's linear = s * cols + l
+            # indexing, and the s-above-j output order is the layout the
+            # TPU dot emitter prefers for this einsum shape — natural
+            # {3,2,1,0}, hence copy-free into the VMEM kernel.
+            ft = f.reshape(b, 8, cols, c)
+            cross = jnp.einsum(
+                "bnc,bskc->bsnk", f, ft,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
+            )
+            mat = (sq[:, None, :, None]
+                   + sq.reshape(b, 8, cols)[:, :, None, :] - 2.0 * cross)
             from ssd3d.ops.pallas.fps import ffps_pallas_pre
 
             return ffps_pallas_pre(mat, npoint)
-        if b <= 16 and cols % 128 == 0:
-            from ssd3d.ops.pallas.fps import ffps_pallas_hbm_pre
+        if b <= 16 and n % 128 == 0:
+            # The square matrix goes to the kernel EXACTLY as the dot
+            # emits it ([b, p, t], t minor): _ffps_hbm_kernel streams the
+            # contiguous row of each pick. Any view that splits the minor
+            # axis re-tiles the buffer and costs a 537 MB/step relayout
+            # copy (tools/dump_hlo.py).
+            cross = jnp.einsum(
+                "btc,bpc->bpt", f, f,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
+            )
+            mat = sq[:, :, None] + sq[:, None, :] - 2.0 * cross
+            from ssd3d.ops.pallas.fps import ffps_pallas_hbm_rows
 
-            return ffps_pallas_hbm_pre(mat, npoint)
+            return ffps_pallas_hbm_rows(mat, npoint)
     from ssd3d.core.geometry import square_distance
 
     return farthest_point_sample_from_dist(

@@ -94,15 +94,16 @@ def test_ffps_pre_tiled_matrix_matches(interpret, rng):
     )
     np.testing.assert_array_equal(np.asarray(f.ffps_pallas_pre(mat, 32)), want)
 
-    # the HBM variant lane-slices rows, so n/8 must be a multiple of 128
+    # the HBM variant takes the square matrix verbatim (row-major,
+    # target axis minor — the copy-free dot layout) and DMAs the picked
+    # point's contiguous row each iteration
     feats2 = jnp.asarray(rng.randn(2, 1024, 4).astype(np.float32))
     dist2 = square_distance(feats2, feats2)
     want2 = np.asarray(
         farthest_point_sample_from_dist(dist2, 16, use_pallas=False)
     )
-    mat2 = jnp.transpose(dist2.reshape(2, 1024, 8, 128), (0, 2, 1, 3))
     np.testing.assert_array_equal(
-        np.asarray(f.ffps_pallas_hbm_pre(mat2, 16)), want2
+        np.asarray(f.ffps_pallas_hbm_rows(dist2, 16)), want2
     )
 
 
@@ -146,7 +147,9 @@ def test_ring_words_kernel_exact(interpret, rng):
         for k, (lo2, hi2, si) in enumerate(rings):
             words = np.asarray(words_list[k])
             cnts = np.asarray(cnts_list[k])
-            assert words.shape == (2, 256, 128)
+            # both outputs are query-trailing (the select machinery's
+            # native layout): words [b, n/16, m], counts [b, n/BLOCK, m]
+            assert words.shape == (2, 128, 256)
             assert cnts.shape == (2, nbt, 256)
             valid = (d2 >= lo2) & (d2 < hi2)
             if si:
@@ -154,7 +157,7 @@ def test_ring_words_kernel_exact(interpret, rng):
             want = np.asarray(
                 _pack_words(jnp.asarray(valid.reshape(256, 16, 8, 16)))
             ).reshape(256, 128)
-            np.testing.assert_array_equal(words[b], want)
+            np.testing.assert_array_equal(words[b], want.T)
             want_cnt = valid.reshape(256, nbt, rw.BLOCK).sum(-1).T
             np.testing.assert_array_equal(cnts[b], want_cnt.astype(np.float32))
 
