@@ -435,3 +435,65 @@ def test_eval_viz_artifacts(mini_kitti, tmp_path):
     assert len(pngs) == 2 and len(htmls) == 2
     assert (viz / pngs[0]).read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
     assert "const PTS=" in (viz / htmls[0]).read_text()
+
+
+# ---------------------------------------------------------------------------
+# heading-asymmetric synthetic shells (the AOS falsifier)
+# ---------------------------------------------------------------------------
+
+def _local_frame(pts, box):
+    """Points -> (px, pz, hy) in the box's local frame; hy in [0,1], 1=roof."""
+    x, y, z, l, h, w, ry = box
+    c, s = np.cos(ry), np.sin(ry)
+    rx, rz = pts[:, 0] - x, pts[:, 2] - z
+    px = c * rx - s * rz
+    pz = s * rx + c * rz
+    hy = -(pts[:, 1] - y) / h
+    return px, pz, hy
+
+
+def test_synth_car_points_heading_asymmetric():
+    """The generator's shells must be heading-asymmetric — otherwise AOS is
+    unlearnable and pins at ~0.5x image AP (the round-3 failure mode)."""
+    sys_path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import sys
+    sys.path.insert(0, sys_path)
+    from synth_kitti import car_points
+
+    rng = np.random.default_rng(0)
+    box = np.array([4.0, 1.65, 20.0, 3.9, 1.56, 1.6, 0.7], np.float32)
+    pts = car_points(rng, box, 4000)
+    px, pz, hy = _local_frame(pts, box)
+    l = box[3]
+    front, rear = px > 0.15 * l, px < -0.15 * l
+    # hood: front points are crushed low; rear keeps the full cabin
+    assert hy[front].max() < 0.55
+    assert hy[rear].max() > 0.85
+    # dense front wall vs rear wall
+    n_fw = np.sum(px > 0.45 * l)
+    n_rw = np.sum(px < -0.45 * l)
+    assert n_fw > 1.5 * n_rw
+
+
+def test_flip_x_keeps_heading_geometry_consistent():
+    """After the x-flip augmentation (ry -> pi - ry), the flipped label must
+    still describe the flipped geometry: the hood stays on the box's local
+    +x (heading) side. A wrong mirror convention flips the label but not
+    the shape (or vice versa) and this inverts."""
+    import sys
+    sys.path.insert(0, os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "tools")))
+    from synth_kitti import car_points
+
+    rng = np.random.default_rng(1)
+    for ry in (-2.5, -0.9, 0.0, 0.7, 2.9):
+        box = np.array([3.0, 1.65, 15.0, 3.9, 1.56, 1.6, ry], np.float32)
+        pts4 = np.concatenate(
+            [car_points(rng, box, 3000), np.zeros((3000, 1), np.float32)], 1)
+        fpts, fbox = aug.flip_x(pts4, box[None])
+        px, pz, hy = _local_frame(fpts[:, :3], fbox[0])
+        l = box[3]
+        front, rear = px > 0.15 * l, px < -0.15 * l
+        assert hy[front].max() < 0.55, f"hood lost after flip at ry={ry}"
+        assert hy[rear].max() > 0.85, f"cabin lost after flip at ry={ry}"

@@ -154,6 +154,21 @@ def main():
         },
         "best": best,
     }
+    if args.hard and evals:
+        # AOS regression gate: heading must be LEARNED, not coin-flipped.
+        # With 180-symmetric shells AOS pins at ~0.5x image AP (round-3
+        # failure); with the asymmetric generator the best-step Car
+        # Moderate AOS must track image AP (evaluate.cpp:703-725 protocol).
+        best_step = max(
+            evals, key=lambda s: evals[s]["Car"]["aos"][1])
+        car = evals[best_step]["Car"]
+        summary["aos_check"] = {
+            "step": best_step,
+            "car_moderate_image_ap": car["image"][1],
+            "car_moderate_aos": car["aos"][1],
+            "aos_to_image_ratio": car["aos"][1] / max(car["image"][1], 1e-6),
+            "pass": car["aos"][1] >= car["image"][1] - 5.0,
+        }
     out_json = args.out_json or os.path.join(wd, "ap_summary.json")
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=1)
