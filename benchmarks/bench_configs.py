@@ -68,12 +68,23 @@ def bench_pipeline(cfg_path, n_points, batch, opts=(), n_feat=4, mutate=None):
         t0 = time.perf_counter()
         float(infer1(variables, x1 + jnp.float32((i + 2) * 1e-3))["scores"].sum())
         lats.append(time.perf_counter() - t0)
-    return {
+    row = {
         "scans_per_sec": round(tput, 2),
         "batch": batch,
         "batch1_latency_ms": round(float(np.median(lats)) * 1e3, 2),
         "points": n_points,
     }
+    # MFU: XLA's analytical FLOPs for the compiled infer, achieved at the
+    # measured rate, against the v5e bf16 peak (same formula as bench.py)
+    try:
+        cost = infer.lower(variables, x).compile().cost_analysis()
+        flops_batch = float(cost.get("flops", 0.0))
+        if flops_batch > 0:
+            row["model_gflops_per_scan"] = round(flops_batch / batch / 1e9, 2)
+            row["mfu"] = round(flops_batch / batch * tput / 197e12, 4)
+    except Exception:
+        pass
+    return row
 
 
 CONFIGS = [

@@ -47,11 +47,12 @@ def evaluate_checkpoint(cfg, pipeline, state, split="val",
         )
         return nusc.evaluate_split(cfg, det, gt, pipeline.cls_list, log=log)
     scene = KittiScene(cfg.DATASET.KITTI.BASE_DIR_PATH, "training")
+    props = []  # stage-1 proposals (two-stage models only)
     det, gt, _ = run_inference_on_split(
         cfg, pipeline.infer, pipeline.cls_list, variables, loader, scene,
         cls_thresh=cls_thresh, log=log, limit=limit,
         batch_size=cfg.TEST.BATCH_SIZE,
-        viz_dir=viz_dir, viz_scans=viz_scans,
+        viz_dir=viz_dir, viz_scans=viz_scans, proposals_out=props,
     )
     if cfg.TEST.TEST_MODE == "Recall":
         gt_boxes = [
@@ -63,7 +64,25 @@ def evaluate_checkpoint(cfg, pipeline, state, split="val",
         detected, total, recall = evaluate_recall(det, gt_boxes)
         log(f"recall: {detected}/{total} = {recall:.4f}")
         return {"recall": recall, "detected": detected, "total": total}, recall
-    return evaluate_split(cfg, det, gt, pipeline.cls_list, log=log)
+    results, selection = evaluate_split(
+        cfg, det, gt, pipeline.cls_list, log=log
+    )
+    if props:
+        from ssd3d.eval.predictions import proposal_recall
+
+        gt_boxes = [
+            np.stack([np.concatenate([g.t, [g.l, g.h, g.w, g.ry]])
+                      for g in frame]).astype(np.float32)
+            if frame else np.zeros((0, 7), np.float32)
+            for frame in gt
+        ]
+        detected, total, recall = proposal_recall(props, gt_boxes)
+        log(f"proposal recall@0.5: {detected}/{total} = {recall:.4f}")
+        results["proposal_recall"] = {
+            "iou": 0.5, "detected": detected, "total": total,
+            "recall": recall,
+        }
+    return results, selection
 
 
 def main():

@@ -103,7 +103,7 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
                            cls_thresh=0.3, save_dir=None, log=print,
                            limit=None, use_true_image_size=False,
                            with_gt=True, batch_size=1, viz_dir=None,
-                           viz_scans=4):
+                           viz_scans=4, proposals_out=None):
     """Run `infer_fn(variables, points) -> det dict` over a (val) split:
     per-scan detections; optionally dumps KITTI txts.
     Returns (det_per_image, gt_per_image, names).
@@ -166,6 +166,11 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
         for i in range(n_real):
             batch = block[i]
             det = {k: v[i] for k, v in dets.items()}
+            if proposals_out is not None and "proposals" in det:
+                # stage-1 proposal boxes (two-stage models), for recall
+                proposals_out.append(
+                    det["proposals"][det["proposals_valid"]]
+                )
             keep = det["valid"] & (det["scores"] >= cls_thresh)
             boxes = det["boxes"][keep]
             scores = det["scores"][keep]
@@ -241,6 +246,29 @@ def evaluate_recall(det_per_image, gt_boxes_per_image, iou_threshold=0.5):
         _, iou3d = boxes_iou_bev_3d(jnp.asarray(pred), jnp.asarray(gts))
         iou3d = np.asarray(iou3d)
         hit = iou3d.max(axis=0) >= iou_threshold
+        detected += int(hit.sum())
+    return detected, total, detected / max(total, 1)
+
+
+def proposal_recall(prop_boxes_per_image, gt_boxes_per_image,
+                    iou_threshold=0.5):
+    """Recall of raw stage-1 proposal boxes against GT at 3D IoU >=
+    threshold — the quantity stage-2 refinement cannot recover (a GT no
+    proposal covers is lost). Reference protocol: TEST_MODE 'Recall',
+    kitti_dataloader.py:385-408."""
+    import jax.numpy as jnp
+
+    from ssd3d.core.iou import boxes_iou_bev_3d
+
+    detected, total = 0, 0
+    for props, gts in zip(prop_boxes_per_image, gt_boxes_per_image):
+        total += len(gts)
+        if len(props) == 0 or len(gts) == 0:
+            continue
+        _, iou3d = boxes_iou_bev_3d(
+            jnp.asarray(np.asarray(props, np.float32)), jnp.asarray(gts)
+        )
+        hit = np.asarray(iou3d).max(axis=0) >= iou_threshold
         detected += int(hit.sum())
     return detected, total, detected / max(total, 1)
 

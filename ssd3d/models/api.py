@@ -94,7 +94,13 @@ def build_pipeline(cfg, nms_pre_topk: int = 2048) -> Pipeline:
             out["proposals"] = proposals
             out["proposal_scores"] = scores
             out["proposal_valid"] = valid
-            return rcnn_spec.final_detections(out)
+            dets = rcnn_spec.final_detections(out)
+            # stage-1 proposals ride along so the evaluator can report
+            # proposal recall — the quantity refinement cannot recover
+            # (reference TEST_MODE 'Recall', kitti_dataloader.py:385-408)
+            dets["proposals"] = proposals
+            dets["proposals_valid"] = valid
+            return dets
 
         return Pipeline(cfg, model, graph, infer, rpn_spec.cls_list)
 

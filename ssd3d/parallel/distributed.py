@@ -51,11 +51,16 @@ def initialize_from_env(log=print) -> bool:
 def make_global_batch(sharding, batch: dict) -> dict:
     """Assemble globally-sharded arrays from the full per-host batch.
 
-    Every process runs the same deterministic loader sequence (samples are
-    pure functions of (seed, epoch, index)), so each host holds the whole
-    global batch and contributes the rows that live on its addressable
-    devices. Loading is O(global batch) per host — fine at point-cloud
-    batch sizes; a rows-per-host loader split is a later optimization."""
+    The loader sequence is deterministic (samples are pure functions of
+    (seed, epoch, index)), so any host can materialize any global-batch
+    row. In the common case the trainer narrows each host's loader to just
+    its own contiguous row range (`loader.row_range`, trainer.py per-host
+    input sharding) and `batch` holds only those rows at their global
+    offsets; when a host's rows aren't one contiguous run (e.g. interleaved
+    mesh orders) the trainer leaves `row_range` unset and every host loads
+    the full global batch — O(global batch) per host, correct for any
+    device permutation because the callback slices by the sharding's own
+    index map."""
     def globalize(x):
         x = np.asarray(x)
         return jax.make_array_from_callback(x.shape, sharding,

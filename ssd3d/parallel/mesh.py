@@ -21,9 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the global devices, default enumeration order.
+
+    SSD3D_MESH_INTERLEAVE=k reorders the axis by stride k (devices
+    [0,k,2k,...,1,k+1,...]) — the layout knob for topologies where the
+    fastest links don't follow enumeration order. Under multi-process it
+    makes each host's batch rows non-contiguous, which is also how the
+    trainer's per-host-loading fallback path gets exercised for real."""
+    import os
+
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    k = int(os.environ.get("SSD3D_MESH_INTERLEAVE", "1"))
+    if k > 1 and len(devices) % k == 0:
+        devices = [d for i in range(k) for d in devices[i::k]]
     return Mesh(np.asarray(devices), (axis,))
 
 

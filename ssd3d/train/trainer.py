@@ -220,6 +220,11 @@ class Trainer:
                     f"per-host input sharding: rows [{lo}, {hi}) of "
                     f"{self.batch_size}"
                 )
+            else:
+                self.log(
+                    "per-host input sharding: full-batch fallback "
+                    f"(non-contiguous rows {rows})"
+                )
 
         self.ckpt = CheckpointManager(
             os.path.join(self.log_dir, "ckpt"),

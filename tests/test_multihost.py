@@ -58,18 +58,20 @@ def _train(cfg, run_dir, data_opts, env, opts=()):
     )
 
 
-def _run_two_process(tmp_path, name, data_opts, opts=()):
+def _run_n_process(tmp_path, name, data_opts, opts=(), n_proc=2,
+                   extra_env=None):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         coord = f"127.0.0.1:{s.getsockname()[1]}"
     run_dir = str(tmp_path / name)
     procs = [
-        _train(CFG, run_dir, data_opts, _env(4, {
+        _train(CFG, run_dir, data_opts, _env(8 // n_proc, {
             "SSD3D_DIST_COORDINATOR": coord,
-            "SSD3D_DIST_NUM_PROCESSES": "2",
+            "SSD3D_DIST_NUM_PROCESSES": str(n_proc),
             "SSD3D_DIST_PROCESS_ID": str(rank),
+            **(extra_env or {}),
         }), opts)
-        for rank in (0, 1)
+        for rank in range(n_proc)
     ]
     try:
         outs = [pr.communicate(timeout=1800)[0] for pr in procs]
@@ -78,8 +80,13 @@ def _run_two_process(tmp_path, name, data_opts, opts=()):
             pr.kill()
     for pr, out in zip(procs, outs):
         assert pr.returncode == 0, out[-2000:]
-    assert "process 0/2" in outs[0] and "process 1/2" in outs[1]
+    assert f"process 0/{n_proc}" in outs[0]
+    assert f"process 1/{n_proc}" in outs[1]
     return run_dir, outs
+
+
+def _run_two_process(tmp_path, name, data_opts, opts=()):
+    return _run_n_process(tmp_path, name, data_opts, opts, n_proc=2)
 
 
 @pytest.fixture(scope="module")
@@ -169,4 +176,23 @@ def test_two_process_fsdp_matches_single_process(baseline):
         opts=["TPU.PARALLEL_MODE", "fsdp"],
     )
     assert "per-host input sharding" in outs[0]
+    _check_against_baseline(ms_s, multi)
+
+
+@pytest.mark.slow
+def test_four_process_interleaved_mesh_fallback(baseline):
+    """4 coordinated processes (2 virtual devices each) under an
+    INTERLEAVED mesh order (SSD3D_MESH_INTERLEAVE=2): each host's batch
+    rows are non-contiguous, so the trainer must take the full-batch
+    per-host loading fallback (trainer.py row_range else-branch) — and the
+    global math must still match the single-process run exactly at step 1
+    (sharding correctness is permutation-invariant)."""
+    tmp_path, data_opts, single, ms_s = baseline
+    multi, outs = _run_n_process(
+        tmp_path, "run_multi4_interleaved", data_opts, n_proc=4,
+        extra_env={"SSD3D_MESH_INTERLEAVE": "2"},
+    )
+    for out in outs:
+        assert "full-batch fallback (non-contiguous rows" in out, out[-2000:]
+        assert "per-host input sharding: rows [" not in out
     _check_against_baseline(ms_s, multi)

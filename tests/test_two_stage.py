@@ -300,3 +300,27 @@ def test_points_pool_train_step(two_stage_pp):
     # the RPN overfits the fixed batch; the total can transiently rise as
     # stage-2 losses switch on once proposals start overlapping GT
     assert stage0(metrics) < first
+
+
+def test_infer_carries_proposals_and_recall(two_stage):
+    """Two-stage inference must expose the stage-1 proposals so the
+    evaluator can report proposal recall (the quantity refinement cannot
+    recover; reference TEST_MODE 'Recall', kitti_dataloader.py:385-408)."""
+    from ssd3d.eval.predictions import proposal_recall
+    from ssd3d.models.api import build_pipeline
+
+    cfg, model, rpn_spec, rcnn_spec, variables, batch = two_stage
+    pipe = build_pipeline(cfg, nms_pre_topk=256)
+    det = jax.jit(pipe.infer)(variables, batch["points"])
+    assert "proposals" in det and "proposals_valid" in det
+    assert det["proposals"].shape[-1] == 7
+    assert det["proposals"].shape[:2] == det["proposals_valid"].shape
+
+    # recall oracle: proposals == GT -> 1.0; far-away junk -> 0.0
+    gts = [np.array([[1.0, 1.5, 10.0, 3.9, 1.56, 1.6, 0.3],
+                     [-4.0, 1.5, 20.0, 3.9, 1.56, 1.6, -1.2]], np.float32)]
+    d, t, r = proposal_recall(gts, gts)
+    assert (d, t, r) == (2, 2, 1.0)
+    junk = [gts[0] + np.float32(50.0)]
+    d, t, r = proposal_recall(junk, gts)
+    assert (d, t, r) == (0, 2, 0.0)

@@ -175,6 +175,9 @@ def main():
         "ap_by_step": {
             str(s): e.get("Car", {}).get("3d") for s, e in evals.items()
         },
+        "proposal_recall_by_step": {
+            str(s): e.get("proposal_recall") for s, e in evals.items()
+        },
         "best": best,
     }
     out_json = args.out_json or os.path.join(wd, "ap_summary.json")

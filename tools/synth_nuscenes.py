@@ -36,7 +36,25 @@ def _yaw_quat(yaw: float) -> list:
 
 def sample_objects(rng: np.random.Generator, k_cars=5, k_peds=3, k_static=3):
     """Object set for one scene: dicts with category, size (w, l, h),
-    initial global center, yaw, velocity (global m/s), attribute name."""
+    initial global center, yaw, velocity (global m/s), attribute name.
+
+    Placements are rejection-sampled so no two objects spawn within 4 m
+    (BEV centers): overlapping shells merge into unlearnable blobs and
+    cap recall on the small static classes (barrier/traffic cone)."""
+
+    def clear(center, objs, min_d=4.0):
+        return all(
+            np.hypot(center[0] - o["center"][0], center[1] - o["center"][1])
+            >= min_d for o in objs
+        )
+
+    def place(draw, objs, tries=25):
+        for _ in range(tries):
+            c = draw()
+            if clear(c, objs):
+                return c
+        return None
+
     objs = []
     for _ in range(k_cars):
         moving = rng.random() < 0.5
@@ -45,10 +63,14 @@ def sample_objects(rng: np.random.Generator, k_cars=5, k_peds=3, k_static=3):
         w = rng.uniform(1.7, 2.0)
         l = rng.uniform(4.0, 5.0)
         h = rng.uniform(1.5, 1.9)
+        c = place(lambda: np.array([rng.uniform(-15, 15),
+                                    rng.uniform(8, 40),
+                                    GROUND_Z + h / 2]), objs)
+        if c is None:
+            continue
         objs.append(dict(
             category="vehicle.car", size=(w, l, h),
-            center=np.array([rng.uniform(-15, 15), rng.uniform(8, 40),
-                             GROUND_Z + h / 2]),
+            center=c,
             yaw=float(heading),
             vel=np.array([np.cos(heading), np.sin(heading), 0.0]) * speed,
             attribute="vehicle.moving" if moving else "vehicle.parked",
@@ -58,28 +80,42 @@ def sample_objects(rng: np.random.Generator, k_cars=5, k_peds=3, k_static=3):
         speed = rng.uniform(0.5, 1.5) if moving else 0.0
         ang = rng.uniform(0, 2 * np.pi)
         h = rng.uniform(1.5, 1.9)
+        c = place(lambda: np.array([rng.uniform(-12, 12),
+                                    rng.uniform(6, 30),
+                                    GROUND_Z + h / 2]), objs)
+        if c is None:
+            continue
         objs.append(dict(
             category="human.pedestrian.adult", size=(0.6, 0.6, h),
-            center=np.array([rng.uniform(-12, 12), rng.uniform(6, 30),
-                             GROUND_Z + h / 2]),
+            center=c,
             yaw=float(ang),
             vel=np.array([np.cos(ang), np.sin(ang), 0.0]) * speed,
             attribute=("pedestrian.moving" if moving
                        else "pedestrian.standing"),
         ))
-    for _ in range(k_static):
-        if rng.random() < 0.5:
+    for i in range(k_static):
+        # alternate deterministically so cones and barriers both get a
+        # full half of the static budget in every scene
+        if i % 2 == 0:
+            c = place(lambda: np.array([rng.uniform(-10, 10),
+                                        rng.uniform(5, 25),
+                                        GROUND_Z + 0.35]), objs)
+            if c is None:
+                continue
             objs.append(dict(
                 category="movable_object.trafficcone", size=(0.3, 0.3, 0.7),
-                center=np.array([rng.uniform(-10, 10), rng.uniform(5, 25),
-                                 GROUND_Z + 0.35]),
+                center=c,
                 yaw=0.0, vel=np.zeros(3), attribute=None,
             ))
         else:
+            c = place(lambda: np.array([rng.uniform(-12, 12),
+                                        rng.uniform(5, 30),
+                                        GROUND_Z + 0.5]), objs)
+            if c is None:
+                continue
             objs.append(dict(
                 category="movable_object.barrier", size=(2.5, 0.5, 1.0),
-                center=np.array([rng.uniform(-12, 12), rng.uniform(5, 30),
-                                 GROUND_Z + 0.5]),
+                center=c,
                 yaw=float(rng.uniform(0, np.pi)), vel=np.zeros(3),
                 attribute=None,
             ))
