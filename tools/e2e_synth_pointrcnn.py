@@ -125,9 +125,14 @@ def main():
         + opts, os.path.join(wd, "train_stage1.log"), env)
 
     # evaluate the RPN-only stage too: the refinement claim is
-    # "stage-2 AP >= stage-1 AP on the same val set"
+    # "stage-2 AP >= stage-1 AP on the same val set". The stage-1 yaml's
+    # NMS_THRESH 0.85 is a PROPOSAL setting (feed 2x-overlapping boxes to
+    # the RCNN, reference tiny_pointrcnn_stage1.yaml:105); scoring those
+    # duplicates as detections caps AP by construction, so the standalone
+    # eval overrides to detection-style NMS 0.1 — same boxes, deduplicated.
     run(py + ["ssd3d.bin.evaluate", "--cfg", cfg1, "--log_dir", run1_dir,
-              "--once", "--cls_threshold", str(args.cls_threshold)] + opts,
+              "--once", "--cls_threshold", str(args.cls_threshold)] + opts
+        + ["MODEL.FIRST_STAGE.NMS_THRESH", "0.1"],
         os.path.join(wd, "evaluate_stage1.log"), env)
 
     opts2 = opts + ["TRAIN.CONFIG.MAX_ITERATIONS", str(iters2),

@@ -124,6 +124,30 @@ def main():
         lambda i: (jax.tree.map(lambda a: a + jnp.asarray(i, a.dtype) * 0,
                                 raw_out),),
         args.iters) * 1e3
+
+    # NMS alone (the per-class O(K²) sweep, no box decode/scores): the
+    # nuScenes 10-class share question (VERDICT r3) needs this split out
+    from ssd3d.core.geometry import boxes_to_bev_aabb
+    from ssd3d.ops.nms import batched_class_nms
+
+    @jax.jit
+    def nms_inputs(o):
+        anchors = spec.anchors(o["base_xyz"])
+        bxs = spec.coder.decode(o["base_xyz"], o["offset"], o["angle_cls"],
+                                o["angle_res"], anchors)
+        sc = (jax.nn.softmax(o["cls"], axis=-1)[..., 1:]
+              if spec.cls_activation == "Softmax"
+              else jax.nn.sigmoid(o["cls"]))
+        return bxs, boxes_to_bev_aabb(bxs), sc
+
+    bxs, bev, sc = jax.tree.map(
+        lambda a: a.block_until_ready(), nms_inputs(raw_out))
+    nms_only = jax.jit(lambda b3, bv, s: batched_class_nms(
+        b3, bv, s, spec.max_output, spec.nms_threshold))
+    stages["nms_only_ms"] = _timeit(
+        nms_only,
+        lambda i: (bxs, bev, sc + jnp.float32(i) * 1e-6),
+        args.iters) * 1e3
     stages["infer_total_ms"] = _timeit(
         full, lambda i: (variables, jitter(i)), args.iters) * 1e3
 
