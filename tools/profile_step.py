@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="benchmarks/profile_breakdown.json")
     ap.add_argument("--trace_dir", default="/tmp/ssd3d_trace")
+    ap.add_argument("--infer_only", action="store_true",
+                    help="skip the train-step stages (e.g. nuScenes, whose "
+                    "train batch needs velocity/attribute labels this "
+                    "synthetic feeder doesn't build)")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +93,8 @@ def main():
     model, graph = pipeline.model, pipeline.graph
     spec = graph.spec
 
-    pts, boxes, labels = _scene_batch(args.batch, args.points)
+    n_feat = 5 if cfg.DATASET.TYPE.upper() == "NUSCENES" else 4
+    pts, boxes, labels = _scene_batch(args.batch, args.points, n_feat=n_feat)
     x = jnp.asarray(pts)
     state = graph.init_state(jax.random.PRNGKey(0), x[:1])
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -151,23 +156,24 @@ def main():
     stages["infer_total_ms"] = _timeit(
         full, lambda i: (variables, jitter(i)), args.iters) * 1e3
 
-    loss_fwd = jax.jit(
-        lambda p, bs, b, r: graph.compute_losses(p, bs, b, r, 0.9)[0]
-    )
-    step = jax.jit(graph.train_step)
-
     def batch_i(i):
         return {**batch, "points": jitter(i)}
 
-    stages["train_loss_forward_ms"] = _timeit(
-        loss_fwd,
-        lambda i: (state.params, state.batch_stats, batch_i(i),
-                   jax.random.fold_in(rng, i)),
-        args.iters) * 1e3
-    stages["train_step_total_ms"] = _timeit(
-        step,
-        lambda i: (state, batch_i(i), jax.random.fold_in(rng, i)),
-        args.iters) * 1e3
+    if not args.infer_only:
+        loss_fwd = jax.jit(
+            lambda p, bs, b, r: graph.compute_losses(p, bs, b, r, 0.9)[0]
+        )
+        step = jax.jit(graph.train_step)
+
+        stages["train_loss_forward_ms"] = _timeit(
+            loss_fwd,
+            lambda i: (state.params, state.batch_stats, batch_i(i),
+                       jax.random.fold_in(rng, i)),
+            args.iters) * 1e3
+        stages["train_step_total_ms"] = _timeit(
+            step,
+            lambda i: (state, batch_i(i), jax.random.fold_in(rng, i)),
+            args.iters) * 1e3
     report["staged_ms"] = {k: round(v, 2) for k, v in stages.items()}
 
     # ---- device trace -----------------------------------------------------
@@ -177,10 +183,11 @@ def main():
             for i in range(3):
                 out = full(variables, jitter(100 + i))
                 float(np.asarray(out["scores"]).ravel()[0])
-            for i in range(3):
-                out = step(state, batch_i(100 + i),
-                           jax.random.fold_in(rng, 100 + i))
-                float(np.asarray(out[1]["total"]))
+            if not args.infer_only:
+                for i in range(3):
+                    out = step(state, batch_i(100 + i),
+                               jax.random.fold_in(rng, 100 + i))
+                    float(np.asarray(out[1]["total"]))
         by_cat = profiling.summarize_trace(args.trace_dir, top=15,
                                            by_category=True)
         by_op = profiling.summarize_trace(args.trace_dir, top=25)
