@@ -90,9 +90,16 @@ def class_unaware_nms(
         )[:, :, 0]
 
     if pre_topk and n > pre_topk:
-        top_s, top_i = jax.lax.top_k(best_score, pre_topk)
+        # sort-free exact top-k SET (lax.top_k lowers to a full stable
+        # sort at n=16k, ~100 ms — the trap ops/topk.py documents). The
+        # set matches lax.top_k bit-for-bit incl. threshold ties; emission
+        # is index-ascending, which the stable argsort inside nms_bev
+        # re-orders identically to the sorted-emission path.
+        from ssd3d.ops.topk import top_k_set
+
+        top_i, _ = top_k_set(best_score, pre_topk)
         boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
-        best_score = top_s
+        best_score = jnp.take_along_axis(best_score, top_i, axis=1)
     bev = boxes_to_bev_aabb(boxes)
 
     def per_elem(bx, bv, sc):

@@ -320,3 +320,73 @@ def test_soft_nms_decays_overlaps(rng):
     # first pick is the global max, scores monotonically non-increasing
     assert order[0] == int(np.argmax(scores))
     assert np.all(np.diff(sel_scores[np.asarray(valid)]) <= 1e-6)
+
+
+def test_top_k_set_matches_lax_top_k():
+    """Sort-free radix top-k must select the EXACT same set as lax.top_k
+    (threshold ties broken by lowest index), including heavy-tie rows —
+    it replaces the full-sort top_k in the proposal prefilter."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssd3d.ops.topk import top_k_set
+
+    rng = np.random.RandomState(7)
+    for n, k, quant in ((1000, 128, None), (4096, 512, 0.05),
+                        (16384, 2048, 0.01), (100, 128, None)):
+        s = rng.uniform(0, 1, (3, n)).astype(np.float32)
+        if quant:  # force many exact ties incl. across the threshold
+            s = (np.round(s / quant) * quant).astype(np.float32)
+        s = jnp.asarray(s)
+        kk = min(k, n)
+        _, ref_idx = jax.lax.top_k(s, kk)
+        idx, valid = top_k_set(s, k)
+        assert bool(valid[:, :kk].all())
+        if k > n:
+            assert not bool(valid[:, n:].any())
+        for b in range(3):
+            got = set(np.asarray(idx[b][np.asarray(valid[b])]).tolist())
+            want = set(np.asarray(ref_idx[b]).tolist())
+            assert got == want, (n, k, quant, b,
+                                 sorted(want - got)[:5], sorted(got - want)[:5])
+
+
+def test_class_unaware_nms_pre_topk_matches_lax_topk_path():
+    """The sort-free prefilter must leave class_unaware_nms's OUTPUT
+    bit-identical to the lax.top_k formulation (same set + stable argsort
+    downstream => same picks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssd3d.core.geometry import boxes_to_bev_aabb
+    from ssd3d.ops import nms as nms_mod
+
+    rng = np.random.RandomState(11)
+    n = 4096
+    boxes = np.zeros((2, n, 1, 7), np.float32)
+    boxes[..., 0, 0] = rng.uniform(-40, 40, (2, n))
+    boxes[..., 0, 1] = 1.6
+    boxes[..., 0, 2] = rng.uniform(0, 70, (2, n))
+    boxes[..., 0, 3:6] = rng.uniform(1.2, 4.5, (2, n, 3))
+    scores = np.round(rng.uniform(0, 1, (2, n, 1)), 2).astype(np.float32)
+
+    got = nms_mod.class_unaware_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 64, 0.7, pre_topk=512
+    )
+
+    def ref_path(boxes_3d, sc):
+        best = jnp.max(sc, axis=-1)
+        bx = boxes_3d[:, :, 0]
+        top_s, top_i = jax.lax.top_k(best, 512)
+        bx = jnp.take_along_axis(bx, top_i[..., None], axis=1)
+        bev = boxes_to_bev_aabb(bx)
+
+        def per_elem(b, v, s):
+            idx, valid = nms_mod.nms_bev(v, s, 64, 0.7)
+            return b[idx], jnp.where(valid, s[idx], 0.0), valid
+
+        return jax.vmap(per_elem)(bx, bev, top_s)
+
+    want = ref_path(jnp.asarray(boxes), jnp.asarray(scores))
+    for g, w, name in zip(got, want, ("boxes", "scores", "valid")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=name)
