@@ -92,6 +92,11 @@ CONFIGS = [
     ("3dssd_kitti_3cls", "configs/kitti/3dssd/3dssd_3cls.yaml", 16384, 8, (), 4),
     ("pointrcnn_kitti", "configs/kitti/pointrcnn/pointrcnn_test.yaml",
      16384, 2, (), 4),
+    # throughput-shaped row: same config, deeper batch (RCNN chunking
+    # bounds the pooled-gather HBM, so batch 4 fits where the unchunked
+    # 1000-proposal path OOMed)
+    ("pointrcnn_kitti_b4", "configs/kitti/pointrcnn/pointrcnn_test.yaml",
+     16384, 4, (), 4),
     ("std_kitti", "configs/kitti/std/std.yaml", 16384, 2, (), 4),
     ("3dssd_nuscenes", "configs/nuscenes/3dssd/3dssd.yaml", 65536, 1, (), 5),
 ]

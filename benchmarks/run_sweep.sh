@@ -19,6 +19,9 @@ python benchmarks/bench_configs.py benchmarks/results_configs.json
 echo "== flagship step breakdown (batch 8) =="
 python tools/profile_step.py --batch 8 --out benchmarks/profile_breakdown.json
 
+echo "== transport round-trip floor =="
+python tools/rtt_probe.py | tee benchmarks/rtt_floor.json
+
 echo "== batch-1 breakdown =="
 python tools/profile_step.py --batch 1 --out benchmarks/profile_batch1.json
 
