@@ -167,9 +167,13 @@ def run_inference_on_split(cfg, infer_fn, cls_list, variables, loader, scene,
             batch = block[i]
             det = {k: v[i] for k, v in dets.items()}
             if proposals_out is not None and "proposals" in det:
-                # stage-1 proposal boxes (two-stage models), for recall
+                # stage-1 proposal boxes (two-stage models), for recall.
+                # Keep the FIXED-shape buffer + mask: boolean filtering
+                # here would give every scan a unique shape and the IoU
+                # jit downstream would recompile per scan (minutes each
+                # through the TPU tunnel).
                 proposals_out.append(
-                    det["proposals"][det["proposals_valid"]]
+                    (det["proposals"], det["proposals_valid"])
                 )
             keep = det["valid"] & (det["scores"] >= cls_thresh)
             boxes = det["boxes"][keep]
@@ -255,21 +259,49 @@ def proposal_recall(prop_boxes_per_image, gt_boxes_per_image,
     """Recall of raw stage-1 proposal boxes against GT at 3D IoU >=
     threshold — the quantity stage-2 refinement cannot recover (a GT no
     proposal covers is lost). Reference protocol: TEST_MODE 'Recall',
-    kitti_dataloader.py:385-408."""
+    kitti_dataloader.py:385-408.
+
+    Entries of `prop_boxes_per_image` are either plain [P, 7] arrays
+    (all valid) or ([P, 7], valid [P]) pairs with a FIXED P. GTs are
+    padded to the split-wide max so the jitted IoU compiles exactly once
+    — per-scan boolean filtering would trigger a recompile per unique
+    shape (minutes each through the TPU tunnel)."""
+    import jax
     import jax.numpy as jnp
 
     from ssd3d.core.iou import boxes_iou_bev_3d
 
-    detected, total = 0, 0
-    for props, gts in zip(prop_boxes_per_image, gt_boxes_per_image):
-        total += len(gts)
-        if len(props) == 0 or len(gts) == 0:
+    gmax = max((len(g) for g in gt_boxes_per_image), default=0)
+    total = int(sum(len(g) for g in gt_boxes_per_image))
+    if gmax == 0 or not prop_boxes_per_image:
+        return 0, total, 0.0
+
+    @jax.jit
+    def n_hits(props, valid, gts, gt_valid):
+        _, iou3d = boxes_iou_bev_3d(props, gts)
+        iou3d = jnp.where(valid[:, None], iou3d, 0.0)
+        hit = (jnp.max(iou3d, axis=0) >= iou_threshold) & gt_valid
+        return jnp.sum(hit)
+
+    detected = 0
+    for entry, gts in zip(prop_boxes_per_image, gt_boxes_per_image):
+        if len(gts) == 0:
             continue
-        _, iou3d = boxes_iou_bev_3d(
-            jnp.asarray(np.asarray(props, np.float32)), jnp.asarray(gts)
-        )
-        hit = np.asarray(iou3d).max(axis=0) >= iou_threshold
-        detected += int(hit.sum())
+        if isinstance(entry, tuple):
+            props, valid = entry
+        else:
+            props = np.asarray(entry, np.float32)
+            valid = np.ones((len(props),), bool)
+        if len(props) == 0:
+            continue
+        gt_pad = np.zeros((gmax, 7), np.float32)
+        gt_pad[: len(gts)] = gts
+        gt_valid = np.arange(gmax) < len(gts)
+        detected += int(n_hits(
+            jnp.asarray(np.asarray(props, np.float32)),
+            jnp.asarray(np.asarray(valid, bool)),
+            jnp.asarray(gt_pad), jnp.asarray(gt_valid),
+        ))
     return detected, total, detected / max(total, 1)
 
 

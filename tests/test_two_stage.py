@@ -324,3 +324,23 @@ def test_infer_carries_proposals_and_recall(two_stage):
     junk = [gts[0] + np.float32(50.0)]
     d, t, r = proposal_recall(junk, gts)
     assert (d, t, r) == (0, 2, 0.0)
+
+
+def test_proposal_recall_fixed_shape_tuple_form():
+    """The evaluator feeds (fixed [P,7] buffer, valid mask) pairs so the
+    IoU jit compiles once for the whole split (per-scan boolean filtering
+    caused a recompile per unique shape through the TPU tunnel)."""
+    from ssd3d.eval.predictions import proposal_recall
+
+    gt1 = np.array([[1.0, 1.5, 10.0, 3.9, 1.56, 1.6, 0.3]], np.float32)
+    gt2 = np.array([[1.0, 1.5, 10.0, 3.9, 1.56, 1.6, 0.3],
+                    [-4.0, 1.5, 20.0, 3.9, 1.56, 1.6, -1.2]], np.float32)
+    P = 8
+    props = np.zeros((P, 7), np.float32)
+    props[0], props[1] = gt1[0], gt2[1]
+    valid = np.zeros(P, bool)
+    valid[:2] = True
+    d, t, r = proposal_recall([(props, valid), (props, valid)], [gt1, gt2])
+    assert (d, t) == (3, 3)
+    d, t, r = proposal_recall([(props, np.zeros(P, bool))], [gt2])
+    assert (d, t, r) == (0, 2, 0.0)  # masked proposals never count
