@@ -70,14 +70,20 @@ def evaluate_checkpoint(cfg, pipeline, state, split="val",
     if props:
         from ssd3d.eval.predictions import proposal_recall
 
+        # recall only against GTs of the model's classes: the Car-only
+        # RPN is not supposed to propose pedestrians/cyclists/vans, and
+        # counting them deflates the number ~3x on mixed-class scenes
+        wanted = set(pipeline.cls_list)
         gt_boxes = [
             np.stack([np.concatenate([g.t, [g.l, g.h, g.w, g.ry]])
-                      for g in frame]).astype(np.float32)
-            if frame else np.zeros((0, 7), np.float32)
+                      for g in frame if g.type in wanted]).astype(np.float32)
+            if any(g.type in wanted for g in frame)
+            else np.zeros((0, 7), np.float32)
             for frame in gt
         ]
         detected, total, recall = proposal_recall(props, gt_boxes)
-        log(f"proposal recall@0.5: {detected}/{total} = {recall:.4f}")
+        log(f"proposal recall@0.5 ({'/'.join(wanted)}): "
+            f"{detected}/{total} = {recall:.4f}")
         results["proposal_recall"] = {
             "iou": 0.5, "detected": detected, "total": total,
             "recall": recall,
