@@ -103,13 +103,21 @@ CONFIGS = [
 
 
 def _enable_attention(cfg):
-    """use_attention=True on the MSG SA layers (field 10 of the arch tuple;
-    reference layers_util.py:122-130) — costed against the dilated-grouping
-    flagship row."""
+    """use_attention=True on the LAST radius-bearing MSG SA layer (field 10
+    of the arch tuple; reference layers_util.py:122-130) — costed against
+    the dilated-grouping flagship row. No shipped reference config enables
+    attention; enabling it on EVERY layer (incl. the 16k-point layer-1)
+    was measured at 0.31 scans/s — the per-query feature-distance argsort
+    over n is a full sort on TPU (docs/kernels.md), so the representative
+    costing is the deepest (smallest-n) scale where an RoI-style
+    attention grouping would actually run."""
+    last = None
     for layer in cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE:
         if layer[11] == "SA_Layer" and isinstance(layer[2], list) and layer[2]:
-            layer[10] = True  # use_attention
-            layer[13] = False  # attention grouping replaces dilated grouping
+            last = layer
+    if last is not None:
+        last[10] = True  # use_attention
+        last[13] = False  # attention grouping replaces dilated grouping
 
 
 MUTATED_CONFIGS = [

@@ -56,7 +56,9 @@ def main():
 
     pts, _, _ = _scene_batch(args.batch, args.points)
     x = jnp.asarray(pts)
-    variables = jax.jit(model.init, static_argnums=(2,))(
+    # specs are static python objects — keep init unjitted so they don't
+    # get treated as traced arguments
+    variables = model.init(
         jax.random.PRNGKey(0), x[:1], False,
         rpn_spec=rpn_spec, rcnn_spec=rcnn_spec,
     )
