@@ -84,6 +84,9 @@ def main():
     ))
     rcnn_out = rcnn(variables, rpn_out["base_xyz"], rpn_out["feature"],
                     base_mask, proposals)
+    # stage-2 decode anchors on the proposals (two_stage.py decode)
+    rcnn_out = {**rcnn_out, "proposals": proposals,
+                "proposal_scores": p_scores, "proposal_valid": p_valid}
     final = jax.jit(lambda o: rcnn_spec.final_detections(o))
     infer = jax.jit(pipeline.infer)
 
@@ -117,6 +120,13 @@ def main():
         "proposals": int(proposals.shape[1]),
         "staged_ms": {k: round(v, 2) for k, v in stages.items()},
         "scans_per_sec": round(args.batch / total_s, 2),
+        "note": (
+            "pool_ms is the pooler jitted in ISOLATION and is not "
+            "representative - XLA loses the fusion plan it builds inside "
+            "the full rcnn graph (rcnn_ms INCLUDES the same pooling); "
+            "read rpn/rcnn/infer_total as the stage story. Wall numbers "
+            "include the ~26.6 ms transport floor (rtt_floor.json)."
+        ),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
