@@ -95,6 +95,22 @@ def main():
     tput_uniform = _throughput(infer, variables, jnp.asarray(uniform))
     lat_b1 = _latency(infer, variables, jnp.asarray(real[:1]))
 
+    # Transport floor: blocking round-trip of a TRIVIAL compiled op through
+    # the same dispatch path. On a tunneled/remote backend this dominates the
+    # batch-1 wall latency (benchmarks/rtt_floor.json measured 26.6 ms median
+    # for the axon tunnel); batch1_net_ms is the model's share of the wall
+    # number once the transport is subtracted (device-trace truth is ~10 ms,
+    # benchmarks/profile_batch1.json).
+    tiny = jnp.zeros((8,), jnp.float32)
+    triv = jax.jit(lambda t: t + 1.0)
+    float(triv(tiny)[0])
+    floor_times = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        float(triv(tiny + jnp.float32(i))[0])
+        floor_times.append(time.perf_counter() - t0)
+    floor = float(np.median(floor_times))
+
     # MFU: XLA's analytical FLOP count for the compiled step, achieved at
     # the measured scan rate, against the v5e bf16 peak (197 TFLOP/s;
     # f32-HIGHEST matmuls burn multiple bf16 passes, so this is the honest
@@ -122,6 +138,8 @@ def main():
         "uniform_scans_per_sec": round(tput_uniform, 2),
         "batch1_latency_ms": round(lat_b1 * 1e3, 2),
         "batch1_scans_per_sec": round(1.0 / lat_b1, 2),
+        "transport_floor_ms": round(floor * 1e3, 2),
+        "batch1_net_ms": round(max(lat_b1 - floor, 0.0) * 1e3, 2),
         **mfu_fields,
     }))
 
