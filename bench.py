@@ -104,12 +104,22 @@ def main():
     tiny = jnp.zeros((8,), jnp.float32)
     triv = jax.jit(lambda t: t + 1.0)
     float(triv(tiny)[0])
+    # perturbed inputs prepared OUTSIDE the timed region so iteration 0
+    # doesn't pay the eager add's trace/compile
+    tinies = [jax.block_until_ready(tiny + jnp.float32(i)) for i in range(8)]
     floor_times = []
-    for i in range(8):
+    for t in tinies:
         t0 = time.perf_counter()
-        float(triv(tiny + jnp.float32(i))[0])
+        float(triv(t)[0])
         floor_times.append(time.perf_counter() - t0)
     floor = float(np.median(floor_times))
+
+    # Direct pipelined batch-1 throughput: the sustained single-scan rate,
+    # measured with no transport-floor subtraction (each submit overlaps the
+    # previous fetch). This is the primary batch-1 number; batch1_latency_ms
+    # is the blocking wall time and batch1_net_ms the subtraction estimate.
+    b1_pipelined = _throughput(infer, variables, jnp.asarray(real[:1]),
+                               iters=30)
 
     # MFU: XLA's analytical FLOP count for the compiled step, achieved at
     # the measured scan rate, against the v5e bf16 peak (197 TFLOP/s;
@@ -138,8 +148,12 @@ def main():
         "uniform_scans_per_sec": round(tput_uniform, 2),
         "batch1_latency_ms": round(lat_b1 * 1e3, 2),
         "batch1_scans_per_sec": round(1.0 / lat_b1, 2),
+        "batch1_pipelined_scans_per_sec": round(b1_pipelined, 2),
         "transport_floor_ms": round(floor * 1e3, 2),
-        "batch1_net_ms": round(max(lat_b1 - floor, 0.0) * 1e3, 2),
+        # unclamped: negative means the trivial round-trip measured SLOWER
+        # than the model step (anomalous run) — surfaced, not hidden
+        "batch1_net_ms": round((lat_b1 - floor) * 1e3, 2),
+        "batch1_net_clamped": bool(lat_b1 < floor),
         **mfu_fields,
     }))
 

@@ -76,6 +76,7 @@ def main():
         report["trace_top_ops_ms"] = [[k, round(v, 2)] for k, v in by_op]
     except Exception as e:
         report["trace_error"] = f"{type(e).__name__}: {e}"
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
