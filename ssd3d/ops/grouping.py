@@ -401,6 +401,19 @@ def group_points(points: Array, idx: Array) -> Array:
 
         if pg.supports(points):
             return pg.gather_rows_pallas(points, flat).reshape(b, m, s, c)
+        if c > 256:
+            # Wide packed rows (e.g. the RCNN layer-1 grouping: 256-ch
+            # features + 3 xyz = c=259): chunk the channel axis at lane-tile
+            # boundaries so every piece rides the Pallas kernel. XLA's
+            # element-rate gather measured 58 ms/step here (fusion.23,
+            # benchmarks/trace_two_stage_b4.json: 3.28M rows x 259 ch,
+            # 6.8 GB); the chunks are tile-aligned lane slices (no relayout)
+            # and the consumer's split of the re-concatenated result
+            # simplifies away.
+            splits = [points[..., i:i + 256] for i in range(0, c, 256)]
+            if all(pg.supports(p) for p in splits):
+                parts = [pg.gather_rows_pallas(p, flat) for p in splits]
+                return jnp.concatenate(parts, -1).reshape(b, m, s, c)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(b, m, s, points.shape[-1])
 

@@ -17,12 +17,32 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-@jax.jit
-def three_nn(xyz1: Array, xyz2: Array):
+def three_nn(xyz1: Array, xyz2: Array, use_pallas: bool = True):
     """3 nearest known points for each unknown point.
 
     xyz1 (unknown): [b, n, 3]; xyz2 (known): [b, m, 3]
     -> (dist2 [b, n, 3], idx int32 [b, n, 3]).
+
+    On TPU this dispatches to the Pallas kernel (ops/pallas/three_nn.py):
+    the [tq, m] distance tile lives only in VMEM and the three min passes
+    run back-to-back — the XLA path below re-reads an HBM tile per pass.
+    Inputs are stop_gradient'ed on that path, matching the reference op's
+    missing gradient registration (tf_interpolate.py registers grads only
+    for ThreeInterpolate; xyz is a non-parameter leaf at every call site)."""
+    if use_pallas and jax.default_backend() == "tpu":
+        m = xyz2.shape[1]
+        if xyz1.shape[1] >= 8 and 8 <= m <= 16384:
+            from ssd3d.ops.pallas.three_nn import three_nn_pallas
+
+            return three_nn_pallas(
+                jax.lax.stop_gradient(xyz1), jax.lax.stop_gradient(xyz2)
+            )
+    return _three_nn_jnp(xyz1, xyz2)
+
+
+@jax.jit
+def _three_nn_jnp(xyz1: Array, xyz2: Array):
+    """Plain-XLA three_nn (CPU path and the Pallas kernel's oracle).
 
     k=3 is found by three masked min/argmin passes instead of top_k —
     lax.top_k lowers to a full per-row sort on TPU. Tie order matches the

@@ -486,3 +486,87 @@ def test_nusc_sharded_batch_eval_matches_batch1(nusc_env, tmp_path):
     assert [len(g) for g in g1] == [len(g) for g in g8]
     assert json.load(open(tmp_path / "r1.json")) == \
         json.load(open(tmp_path / "r8.json"))
+
+
+@pytest.mark.slow
+def test_nuscenes_train_step_sharded_multichip(nusc_env):
+    """The nuScenes train step — velocity/attribute losses included —
+    compiled and executed over an 8-device mesh with the batch sharded on
+    'data'; losses must match the single-device run on the same batch
+    (nuScenes intent: nuscenes_dataloader.py:182-257; §2.7 DP strategy)."""
+    from ssd3d.models import build_detector
+    from ssd3d.parallel import batch_sharding, make_mesh, replicated
+    from ssd3d.train.train_step import TrainGraph
+
+    cfg = load_cfg("/root/repo/configs/nuscenes/3dssd/3dssd.yaml")
+    cfg.DATASET.NUSCENES.MAX_CUR_SAMPLE_POINTS_NUM = 512
+    cfg.MODEL.POINTS_NUM_FOR_TRAINING = 512
+    arch = cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE
+    for layer, npt in zip(arch, [[128], [32], [16, 0], None, None, [16]]):
+        if npt is not None and layer[11] == "SA_Layer":
+            layer[8] = npt
+        if layer[11] == "SA_Layer":
+            layer[4] = [[8, 8]] * len(layer[2]) if layer[2] else []
+            layer[3] = [4] * len(layer[2])
+            layer[15] = 16 if layer[15] != -1 else -1
+    arch[2][6] = [32, -1]
+    arch[3][6] = [16, -1]
+    arch[3][8] = [16, 0]
+    arch[4][4] = [8]
+
+    loader = NuScenesLoader(cfg, "train", data_dir=str(nusc_env), seed=0)
+    batch = next(loader.batches(2, epochs=1))  # env has 3 samples; tile to 8
+    jb = {
+        k: jnp.concatenate([jnp.asarray(v)] * 4, axis=0)
+        for k, v in batch.items() if k != "names"
+    }
+
+    model, spec = build_detector(cfg)
+    graph = TrainGraph.build(cfg, model, spec)
+    state = graph.init_state(jax.random.PRNGKey(0), jb["points"][:1])
+
+    st_1, m_1 = jax.jit(graph.train_step)(state, jb, jax.random.PRNGKey(1))
+    assert {"attribute", "velocity"} <= set(m_1)
+
+    mesh = make_mesh(8)
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    sh_batch = {k: jax.device_put(v, bsh) for k, v in jb.items()}
+    step = jax.jit(
+        graph.train_step,
+        in_shardings=(rep, {k: bsh for k in sh_batch}, rep),
+        out_shardings=(rep, rep),
+    )
+    st_8, m_8 = step(jax.device_put(state, rep), sh_batch,
+                     jax.random.PRNGKey(1))
+    assert int(st_8.step) == 1
+    # vs single device: LOOSE — per-example kernels vectorize differently
+    # at per-device batch 1, and the untrained model's near-uniform scores
+    # let argmax/assignment ties flip on those ULPs (measured 0.3% on cls);
+    # the tight cross-check is fsdp-vs-dp below (same topology)
+    for k in m_1:
+        a, b = float(m_1[k]), float(m_8[k])
+        assert np.isfinite(b), (k, b)
+        np.testing.assert_allclose(b, a, rtol=2e-2, atol=1e-4, err_msg=k)
+    # Gradients/params are NOT compared against the single-device run:
+    # discrete selections (FPS ties, target assignment) can flip on
+    # reduction-order ULPs and reroute identical losses through different
+    # indices — loss equality is the sharding-correctness signal. FSDP on
+    # the same mesh must agree with dp tightly (same topology).
+    from ssd3d.parallel import fsdp_shardings
+
+    state_sh = fsdp_shardings(state, mesh, min_size=1 << 8)
+    assert any(
+        s.spec != jax.sharding.PartitionSpec()
+        for s in jax.tree.leaves(state_sh)
+    )
+    step_f = jax.jit(
+        graph.train_step,
+        in_shardings=(state_sh, {k: bsh for k in sh_batch}, rep),
+        out_shardings=(state_sh, rep),
+    )
+    st_f, m_f = step_f(jax.device_put(state, state_sh), sh_batch,
+                       jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_f["total"]), float(m_8["total"]),
+                               rtol=1e-5)
+    assert int(st_f.step) == 1

@@ -184,3 +184,44 @@ def test_gather_kernel_exact_with_vjp(interpret, rng):
         for i in np.asarray(idx)[b]:
             want_g[b, i] += 3.0
     np.testing.assert_allclose(grad, want_g, atol=1e-5)
+
+
+def test_three_nn_kernel_matches_reference(interpret, rng):
+    """Pallas three_nn vs the jnp oracle: identical neighbor indices and
+    tie order; distances to ULP tolerance (XLA's 3-element reduce may
+    associate the coordinate sum differently). Padded-query path exercised
+    via n not a tile multiple, m below one lane tile via m=64."""
+    import importlib
+
+    import ssd3d.ops.pallas.three_nn as t
+
+    importlib.reload(t)
+    from ssd3d.ops.interpolate import _three_nn_jnp
+
+    for n, m in [(200, 64), (256, 96), (520, 256)]:
+        unknown = jnp.asarray(rng.randn(2, n, 3).astype(np.float32) * 10)
+        known = jnp.asarray(rng.randn(2, m, 3).astype(np.float32) * 10)
+        want_d, want_i = _three_nn_jnp(unknown, known)
+        got_d, got_i = t.three_nn_pallas(unknown, known)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(got_d), np.asarray(want_d), rtol=1e-6, atol=1e-5
+        )
+
+
+def test_three_nn_kernel_tie_contract(interpret):
+    """Duplicate known points: slots fill in index order (CUDA scan
+    contract, tf_interpolate_g.cu:24)."""
+    import importlib
+
+    import ssd3d.ops.pallas.three_nn as t
+
+    importlib.reload(t)
+    known = np.zeros((1, 64, 3), np.float32)
+    known[0, :, 0] = np.arange(64) // 4  # groups of 4 identical points
+    unknown = np.zeros((1, 8, 3), np.float32)
+    got_d, got_i = t.three_nn_pallas(jnp.asarray(unknown), jnp.asarray(known))
+    np.testing.assert_array_equal(
+        np.asarray(got_i)[0, 0], np.array([0, 1, 2], np.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(got_d)[0, 0], np.zeros(3))
