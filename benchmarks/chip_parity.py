@@ -90,6 +90,43 @@ def main():
         print(f"group_points b={b} n={gn} c={c} {np.dtype(dt).name}: exact={ok}")
         failures += 0 if ok else 1
 
+    # fused SA kernel (gather + center + MLP + maxpool) vs jnp replica at
+    # the layer-1/2 shapes; tolerance = bf16 ulps (fusion-order differences)
+    from ssd3d.ops.pallas.sa_fused import sa_fused_pallas
+
+    for fb, fn, fcf, fm, fns in [(2, 16384, 1, 4096, 32), (2, 4096, 64, 1024, 64)]:
+        src = jnp.asarray(rng.randn(fb, fn, fcf + 3).astype(np.float32))
+        gidx = jnp.asarray(rng.randint(0, fn, (fb, fm, fns)).astype(np.int32))
+        ctrs = jnp.asarray(rng.randn(fb, fm, 3).astype(np.float32))
+        layers, c = [], fcf + 3
+        for ch in (16, 16, 32):
+            layers.append(
+                (jnp.asarray(rng.randn(c, ch).astype(np.float32) * 0.3),
+                 jnp.asarray(rng.randn(ch).astype(np.float32) * 0.1),
+                 jnp.asarray(np.abs(rng.randn(ch)).astype(np.float32)),
+                 jnp.asarray(rng.randn(ch).astype(np.float32) * 0.1)))
+            c = ch
+        got = np.asarray(sa_fused_pallas(src, gidx, ctrs, layers))
+
+        def ref_sa(src, gidx, ctrs, layers):
+            g = jnp.take_along_axis(
+                src, gidx.reshape(fb, -1)[..., None], axis=1
+            ).reshape(fb, fm, fns, -1)
+            x = jnp.concatenate(
+                [g[..., :fcf], g[..., fcf:] - ctrs[:, :, None, :]], -1)
+            for (w, bb, inv, shift) in layers:
+                y = jnp.dot(
+                    x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16) + bb.astype(jnp.bfloat16)
+                x = jnp.maximum(y.astype(jnp.float32) * inv + shift, 0.0)
+            return jnp.max(x, axis=2)
+
+        want = np.asarray(jax.jit(ref_sa)(src, gidx, ctrs, layers))
+        derr = np.abs(got - want).max()
+        print(f"sa_fused n={fn} cf={fcf} ns={fns}: max abs diff {derr:.4f}")
+        failures += 0 if derr < 0.05 else 1
+
     # F-FPS Pallas kernel vs the jnp while-loop reference, exact idx match
     from ssd3d.ops.sampling import farthest_point_sample_from_dist
     from ssd3d.core.geometry import square_distance

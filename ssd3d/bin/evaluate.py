@@ -171,7 +171,7 @@ def main():
     best_metric, best_step = -1.0, None
     seen = set()
     while True:
-        steps = [s for s in ckpt.all_steps() if s not in seen]
+        steps = [s for s in ckpt.all_steps(refresh=True) if s not in seen]
         for step in sorted(steps):
             seen.add(step)
             state, _ = ckpt.restore(template, step)

@@ -280,8 +280,16 @@ class KittiLoader:
 
     def batches(self, batch_size: int, epochs: int | None = None,
                 num_threads: int = 2, shuffle: bool | None = None,
-                num_procs: int = 0, mp_method: str = "fork"):
+                num_procs: int = 0, mp_method: str = "fork",
+                start_iter: int = 0):
         """Yield stacked fixed-shape batches, prefetched.
+
+        start_iter fast-forwards the (epoch, index) stream by that many
+        BATCHES without loading anything, so a run resumed from a step-N
+        checkpoint consumes exactly the batches the unkilled run would
+        have seen at steps N+1, N+2, ... — resume is batch-exact, not
+        merely optimizer-correct. (The reference restarts its ZMQ stream
+        from scratch on restore.)
 
         num_procs=0 (default): thread workers — numpy releases the GIL for
         most of the augmentation math, and the TPU step usually hides host
@@ -295,12 +303,15 @@ class KittiLoader:
         its rows of the same global batch independently.
         """
         shuffle = self.training if shuffle is None else shuffle
+        stream = self._index_stream(batch_size, epochs, shuffle)
+        for _ in range(start_iter * batch_size):  # pure index skip, no IO
+            if next(stream, None) is None:
+                break
         if num_procs > 0:
             yield from self._batches_mp(
-                batch_size, epochs, shuffle, num_procs, mp_method)
+                batch_size, stream, num_procs)
             return
 
-        stream = self._index_stream(batch_size, epochs, shuffle)
         lock = threading.Lock()
         seq_box = [0]
         out_q: queue.Queue = queue.Queue(maxsize=4)
@@ -345,7 +356,8 @@ class KittiLoader:
         finally:
             stop.set()
 
-    def _batches_mp(self, batch_size, epochs, shuffle, num_procs, mp_method):
+    def _batches_mp(self, batch_size, stream, num_procs,
+                    mp_method: str = "fork"):
         ctx = mp.get_context(mp_method)
         task_q = ctx.Queue(maxsize=2 * num_procs)
         out_q = ctx.Queue(maxsize=2 * num_procs)
@@ -357,8 +369,6 @@ class KittiLoader:
         ]
         for p in procs:
             p.start()
-
-        stream = self._index_stream(batch_size, epochs, shuffle)
 
         def feeder():
             seq = 0

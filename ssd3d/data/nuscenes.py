@@ -237,8 +237,10 @@ class NuScenesLoader:
 
     def batches(self, batch_size: int, epochs: int | None = None,
                 shuffle: bool | None = None, num_threads: int = 0,
-                num_procs: int = 0):
-        """Deterministic (epoch, index)-pure batch stream.
+                num_procs: int = 0, start_iter: int = 0):
+        """Deterministic (epoch, index)-pure batch stream. start_iter
+        fast-forwards by that many batches without loading (batch-exact
+        resume; see KittiLoader.batches).
 
         num_threads > 0 overlaps sample loading (npz IO + voxel budgeting)
         with consumption via a bounded thread pool; num_procs is accepted
@@ -262,6 +264,13 @@ class NuScenesLoader:
                            for i in order[start:start + batch_size]]
                 epoch += 1
 
+        def index_stream_from():
+            it = index_stream()
+            for _ in range(start_iter):
+                if next(it, None) is None:
+                    return
+            yield from it
+
         def assemble(samples):
             batch = {k: np.stack([s[k] for s in samples])
                      for k in self.BATCH_KEYS}
@@ -273,7 +282,7 @@ class NuScenesLoader:
 
             with ThreadPoolExecutor(num_threads) as pool:
                 pending: queue.Queue = queue.Queue()
-                stream = index_stream()
+                stream = index_stream_from()
                 depth = 2  # batches in flight
                 try:
                     for _ in range(depth):
@@ -295,7 +304,7 @@ class NuScenesLoader:
                             f.cancel()
             return
 
-        for idxs in index_stream():
+        for idxs in index_stream_from():
             yield assemble([self.load_sample(i, e) for i, e in idxs])
 
 

@@ -34,7 +34,8 @@ class BatchNorm(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool, momentum: Array | float = 0.9):
+    def __call__(self, x: Array, train: bool, momentum: Array | float = 0.9,
+                 fold: bool = False):
         x = x.astype(jnp.float32)  # stats and affine in f32 always
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
@@ -45,6 +46,12 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+
+        if fold:
+            # eval-mode BN as an affine: y = x * inv + shift (for kernels
+            # that fuse the conv + BN + ReLU chain; x only supplies c)
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return inv, bias - ra_mean.value * inv
 
         if train:
             reduce_axes = tuple(range(x.ndim - 1))
@@ -67,9 +74,9 @@ class BatchNorm(nn.Module):
 
 class _DenseParams(nn.Module):
     """Creates (and returns) a Dense layer's kernel/bias as VALUES, at the
-    same scope path ("<name>/kernel", "<name>/bias") nn.Dense would use,
-    so the owning PointConv applies them inline (identical math to
-    nn.Dense) while keeping the parameter tree checkpoint-compatible."""
+    same scope path ("<name>/kernel", "<name>/bias") nn.Dense would use —
+    so the owning PointConv can either apply them inline (identical math to
+    nn.Dense) or hand them to a fused Pallas kernel."""
 
     c_in: int
     features: int
@@ -97,7 +104,13 @@ def _dense_apply(x: Array, k: Array, b: Array, dtype: Any) -> Array:
 
 class PointConv(nn.Module):
     """1×1 conv (Dense) + optional BN/GN + ReLU — the reference's
-    tf_util.conv1d/conv2d with kernel size 1 (tf_util.py:51/:127)."""
+    tf_util.conv1d/conv2d with kernel size 1 (tf_util.py:51/:127).
+
+    With fold=True (eval-only, bn and activation required), returns the
+    layer as data instead of applying it: (kernel, bias, inv, shift) with
+    BN reduced to an affine — consumed by the fused SA grouping kernel
+    (ssd3d/ops/pallas/sa_fused.py). `x` then only supplies the input width.
+    """
 
     channels: int
     bn: bool = True
@@ -107,8 +120,16 @@ class PointConv(nn.Module):
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU-friendly matmuls
 
     @nn.compact
-    def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9):
+    def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9,
+                 fold: bool = False):
         k, b = _DenseParams(x.shape[-1], self.channels, name="conv")()
+        if fold:
+            assert self.bn and not self.use_gn and self.activation and not train
+            inv, shift = BatchNorm(axis_name=self.axis_name, name="bn")(
+                jnp.zeros((1, self.channels), jnp.float32),
+                False, bn_momentum, fold=True,
+            )
+            return k, b, inv, shift
         x = _dense_apply(x, k, b, self.compute_dtype)
         if self.bn and self.use_gn:
             x = nn.GroupNorm(num_groups=min(32, self.channels), name="gn")(x)
@@ -131,7 +152,25 @@ class SharedMLP(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9):
+    def __call__(self, x: Array, train: bool, bn_momentum: Array | float = 0.9,
+                 fold: bool = False):
+        if fold:
+            # return the whole stack as (kernel, bias, inv, shift) tuples
+            # for the fused SA kernel; x only supplies the input width
+            folded = []
+            c = x.shape[-1]
+            for i, ch in enumerate(self.channels):
+                folded.append(
+                    PointConv(
+                        ch, bn=self.bn, use_gn=self.use_gn,
+                        axis_name=self.axis_name,
+                        compute_dtype=self.compute_dtype,
+                        name=f"conv{i}",
+                    )(jnp.zeros((1, c), jnp.float32), train, bn_momentum,
+                      fold=True)
+                )
+                c = ch
+            return folded
         for i, ch in enumerate(self.channels):
             x = PointConv(
                 ch,

@@ -113,6 +113,28 @@ class PointnetSAModuleMSG(nn.Module):
     axis_name: str | None = None
     compute_dtype: Any = None
 
+    def _use_fused(self, train: bool, packed_src: Array, idx: Array) -> bool:
+        """Fused SA kernel dispatch: inference, plain BatchNorm, TPU, and
+        shapes inside the kernel's VMEM envelope. Currently opt-in via
+        SSD3D_ENABLE_FUSED_SA=1: the kernel is CPU-validated (interpreter
+        parity + model-level integration test) but the serving libtpu has
+        not seen it yet — flip the default once chip-validated."""
+        import os
+
+        from ssd3d.ops.pallas import sa_fused
+
+        return (
+            not train
+            and self.bn
+            and not self.use_gn
+            # the kernel's MXU dots are bf16; a f32-eval model (compute_dtype
+            # None) must not silently change numerics when the flag is set
+            and self.compute_dtype == jnp.bfloat16
+            and bool(os.environ.get("SSD3D_ENABLE_FUSED_SA"))
+            and jax.default_backend() == "tpu"
+            and sa_fused.supports(packed_src, idx.shape[2], idx.shape[1])
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -199,6 +221,38 @@ class PointnetSAModuleMSG(nn.Module):
             if aggregating
             else None
         )
+
+        if all(self._use_fused(train, packed_src, idx) for idx, _ in queries):
+            # inference: the WHOLE layer — every scale's gather +
+            # center-subtract + MLP (BN folded) + masked max-pool, plus the
+            # aggregation conv — is one Pallas kernel; grouped tensors
+            # never exist in HBM (ops/pallas/sa_fused.py)
+            from ssd3d.ops.pallas.sa_fused import sa_fused_multi
+
+            idx_list, masks, folded_list = [], [], []
+            for i, (idx, cnt) in enumerate(queries):
+                has_pts = (cnt > 0).astype(jnp.int32)
+                idx_list.append(idx * has_pts[..., None])
+                masks.append(has_pts)
+                folded_list.append(
+                    mlps[i](packed_src, train, bn_momentum, fold=True)
+                )
+            agg_folded = None
+            if aggregating:
+                sum_c = sum(self.mlp_list[i][-1] for i in range(len(queries)))
+                agg_folded = agg_conv(
+                    jnp.zeros((1, sum_c), jnp.float32), train, bn_momentum,
+                    fold=True,
+                )
+            new_features = sa_fused_multi(
+                jax.lax.stop_gradient(packed_src),
+                idx_list,
+                jax.lax.stop_gradient(new_xyz),
+                jnp.stack(masks, axis=-1).astype(jnp.float32),
+                folded_list,
+                agg_folded,
+            )
+            return new_xyz, new_features, fps_idx
 
         scale_feats = []
         for i, (idx, cnt) in enumerate(queries):

@@ -69,7 +69,14 @@ class CheckpointManager:
     def latest_step(self):
         return self.mngr.latest_step()
 
-    def all_steps(self):
+    def all_steps(self, refresh: bool = False):
+        """refresh=True re-reads the directory — orbax caches the step
+        listing at construction, so a DAEMON polling a live run (the
+        reference evaluator pattern, evaluator.py:94-110) must reload or
+        it never sees checkpoints written after it started. Caught by the
+        round-5 endurance run: the concurrent evaluator idled forever."""
+        if refresh:
+            self.mngr.reload()
         return list(self.mngr.all_steps())
 
 
@@ -361,6 +368,10 @@ class Trainer:
             self.batch_size,
             num_threads=self.cfg.DATA_LOADER.NUM_THREADS,
             num_procs=num_procs,
+            # resume is batch-exact: fast-forward the pure index stream to
+            # the restored step so the data sequence continues as if the
+            # run had never been killed
+            start_iter=start_step,
         )
         for batch in batch_gen:
             if it >= max_iters:

@@ -162,6 +162,18 @@ def test_run_preprocess_and_loader(mini_kitti, tmp_path):
     assert len(ref_seq) == 6
     assert seq(num_threads=4) == ref_seq
     assert seq(num_procs=2) == ref_seq
+    # batch-exact resume: start_iter=k yields exactly the tail of the
+    # continuous stream (the trainer passes the restored step here, so a
+    # killed+resumed run consumes the same batches the unkilled run would)
+    assert seq(num_threads=1, start_iter=2) == ref_seq[2:]
+    assert seq(num_procs=2, start_iter=3) == ref_seq[3:]
+    ld5 = KittiLoader(cfg, "train", training=True, seed=7)
+    b5 = next(ld5.batches(2, epochs=4, num_threads=1, start_iter=1))
+    ld6 = KittiLoader(cfg, "train", training=True, seed=7)
+    it6 = ld6.batches(2, epochs=4, num_threads=1)
+    next(it6)
+    b6 = next(it6)
+    np.testing.assert_array_equal(b5["points"], b6["points"])
 
 
 def test_budget_points(rng):

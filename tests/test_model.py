@@ -134,3 +134,36 @@ def test_real_3dssd_arch_builds():
     assert det["boxes"].shape == (1, 100, 7)
 
 
+def test_fused_sa_eval_matches_unfused(tiny_model, monkeypatch):
+    """Force the fused SA inference path (interpret-mode Pallas) and compare
+    the full detector eval output against the unfused path — catches fused
+    dispatch integration bugs (idx masking, center source, concat order)."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas
+
+    from ssd3d.nn import modules as mod
+    from ssd3d.ops.pallas import sa_fused
+
+    cfg, model, spec, variables, pts = tiny_model
+    want = model.apply(variables, jnp.asarray(pts), False)
+
+    orig_call = pallas.pallas_call
+    monkeypatch.setattr(
+        mod.PointnetSAModuleMSG,
+        "_use_fused",
+        lambda self, train, src, idx: (
+            not train and self.bn and not self.use_gn
+            and sa_fused.supports(src, idx.shape[2], idx.shape[1])
+        ),
+    )
+    with mock.patch.object(
+        pallas, "pallas_call", functools.partial(orig_call, interpret=True)
+    ):
+        got = model.apply(variables, jnp.asarray(pts), False)
+
+    for key in ("base_xyz", "cls", "offset"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=0.05, atol=0.05
+        )

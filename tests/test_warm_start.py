@@ -90,3 +90,23 @@ def test_restore_from_path_accepts_all_path_shapes(tmp_path):
         pass
     else:
         raise AssertionError("missing path must raise")
+
+
+def test_checkpoint_manager_daemon_refresh(tmp_path):
+    """A manager constructed BEFORE checkpoints exist must see later saves
+    with all_steps(refresh=True) — the evaluator daemon polls a live run
+    this way (orbax caches the listing at construction; the round-5
+    endurance run caught the daemon idling forever without the reload)."""
+    import jax.numpy as jnp
+
+    from ssd3d.train.trainer import CheckpointManager
+
+    d = str(tmp_path / "ckpt")
+    watcher = CheckpointManager(d)  # daemon's view, empty dir
+    assert watcher.all_steps() == []
+
+    writer = CheckpointManager(d)  # trainer's view
+    writer.save(10, {"w": jnp.zeros((2,))})
+    writer.mngr.wait_until_finished()
+
+    assert 10 in watcher.all_steps(refresh=True)
