@@ -106,11 +106,8 @@ def _enable_attention(cfg):
     """use_attention=True on the LAST radius-bearing MSG SA layer (field 10
     of the arch tuple; reference layers_util.py:122-130) — costed against
     the dilated-grouping flagship row. No shipped reference config enables
-    attention; enabling it on EVERY layer (incl. the 16k-point layer-1)
-    was measured at 0.31 scans/s — the per-query feature-distance argsort
-    over n is a full sort on TPU (docs/kernels.md), so the representative
-    costing is the deepest (smallest-n) scale where an RoI-style
-    attention grouping would actually run."""
+    attention; this row is the RoI-style scale where an attention grouping
+    would typically run."""
     last = None
     for layer in cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE:
         if layer[11] == "SA_Layer" and isinstance(layer[2], list) and layer[2]:
@@ -120,9 +117,23 @@ def _enable_attention(cfg):
         last[13] = False  # attention grouping replaces dilated grouping
 
 
+def _enable_attention_all(cfg):
+    """Attention grouping on EVERY MSG layer, including layer-1's 4,096
+    queries x 16,384 points. With the argsort formulation this measured
+    0.31 scans/s (a full 16k stable sort per query); the sort-free
+    bitwise-bisection top-k (ops/grouping.ball_query_attention) makes it a
+    usable configuration — the row records where it now lands."""
+    for layer in cfg.MODEL.NETWORK.FIRST_STAGE.ARCHITECTURE:
+        if layer[11] == "SA_Layer" and isinstance(layer[2], list) and layer[2]:
+            layer[10] = True
+            layer[13] = False
+
+
 MUTATED_CONFIGS = [
     ("3dssd_kitti_attention", "configs/kitti/3dssd/3dssd.yaml", 16384, 8,
      (), 4, _enable_attention),
+    ("3dssd_kitti_attention_all_layers", "configs/kitti/3dssd/3dssd.yaml",
+     16384, 8, (), 4, _enable_attention_all),
 ]
 
 

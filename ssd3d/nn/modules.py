@@ -26,11 +26,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ssd3d.core.geometry import square_distance
 from ssd3d.nn.layers import PointConv, SharedMLP
 from ssd3d.ops.grouping import (
+    ball_query_attention,
     ball_query_multi,
-    ball_query_withidx,
     group_points,
 )
 from ssd3d.ops.interpolate import inverse_distance_weights, three_interpolate, three_nn
@@ -115,22 +114,29 @@ class PointnetSAModuleMSG(nn.Module):
 
     def _use_fused(self, train: bool, packed_src: Array, idx: Array) -> bool:
         """Fused SA kernel dispatch: inference, plain BatchNorm, TPU, and
-        shapes inside the kernel's VMEM envelope. Currently opt-in via
-        SSD3D_ENABLE_FUSED_SA=1: the kernel is CPU-validated (interpreter
-        parity + model-level integration test) but the serving libtpu has
-        not seen it yet — flip the default once chip-validated."""
+        shapes inside the kernel's VMEM envelope.
+
+        Default ON for the RoI regime — many small clouds (n <= 512,
+        b >= 64: the RCNN stage runs batch x proposals = hundreds of
+        512-point RoIs), where the unfused path's HBM materialization of
+        the grouped tensor dominates the two-stage step (92 of 153 ms at
+        batch 4, benchmarks/trace_two_stage_b4.json). Default OFF for the
+        flagship regime (few big clouds): chip-measured in round 2 as a
+        NET LOSS there (121.7 vs 150.9 scans/s — the serial in-kernel
+        gather starves the MXU while the unfused pipeline overlaps);
+        SSD3D_ENABLE_FUSED_SA=1 force-enables everywhere for experiments.
+        The dots follow compute_dtype (bf16, or f32 at HIGHEST)."""
         import os
 
         from ssd3d.ops.pallas import sa_fused
 
+        b, n, _ = packed_src.shape
+        roi_regime = n <= 512 and b >= 64
         return (
             not train
             and self.bn
             and not self.use_gn
-            # the kernel's MXU dots are bf16; a f32-eval model (compute_dtype
-            # None) must not silently change numerics when the flag is set
-            and self.compute_dtype == jnp.bfloat16
-            and bool(os.environ.get("SSD3D_ENABLE_FUSED_SA"))
+            and (roi_regime or bool(os.environ.get("SSD3D_ENABLE_FUSED_SA")))
             and jax.default_backend() == "tpu"
             and sa_fused.supports(packed_src, idx.shape[2], idx.shape[1])
         )
@@ -177,14 +183,14 @@ class PointnetSAModuleMSG(nn.Module):
 
         # ---- grouping: all radius scales in one distance pass
         if self.use_attention:
-            # order candidate points by DESCENDING feature distance to the
-            # center (layers_util.py:122-130): the ball fills with the most
-            # feature-distant in-radius points first
+            # the ball fills with the most feature-distant in-radius points
+            # first (layers_util.py:122-130). ball_query_attention emits the
+            # same multiset as the reference's sorted visitation WITHOUT the
+            # per-query argsort (a full 16k sort per query on TPU — the
+            # measured 500x cliff); see ops/grouping.py.
             new_feat = gather_points(features, fps_idx)
-            relation = square_distance(new_feat, features)
-            order = jnp.argsort(-relation, axis=-1).astype(jnp.int32)
             queries = [
-                ball_query_withidx(r, ns, xyz, new_xyz, order)
+                ball_query_attention(r, ns, xyz, new_xyz, features, new_feat)
                 for r, ns in zip(self.radius_list, self.nsample_list)
             ]
         else:
@@ -251,6 +257,7 @@ class PointnetSAModuleMSG(nn.Module):
                 jnp.stack(masks, axis=-1).astype(jnp.float32),
                 folded_list,
                 agg_folded,
+                dots_bf16=self.compute_dtype == jnp.bfloat16,
             )
             return new_xyz, new_features, fps_idx
 

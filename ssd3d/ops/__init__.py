@@ -8,6 +8,7 @@ from ssd3d.ops.sampling import (
 from ssd3d.ops.grouping import (
     ball_query,
     ball_query_dilated,
+    ball_query_attention,
     ball_query_withidx,
     group_points,
     knn_points,
@@ -26,6 +27,7 @@ __all__ = [
     "gather_by_mask",
     "ball_query",
     "ball_query_dilated",
+    "ball_query_attention",
     "ball_query_withidx",
     "group_points",
     "knn_points",

@@ -10,11 +10,23 @@ with dynamic sublane slices (the ops/pallas/gather.py pattern), subtracts
 the centers, runs the (bf16 matmul + f32 BN affine + ReLU) chain on the MXU,
 and writes only the [TM, c_out] pooled result.
 
-Numerics mirror the unfused eval path: inputs/kernels cast to bf16 for the
-dot (flax Dense(dtype=bf16)), bias added in bf16, BatchNorm eval reduced to
-a f32 affine y * inv + shift with inv = rsqrt(var + eps) * scale,
+Numerics mirror the unfused eval path. With bf16 weights (compute_dtype
+bfloat16) inputs/kernels cast to bf16 for the dot (flax Dense(dtype=bf16)),
+bias added in bf16; with f32 weights (compute_dtype None — the two-stage
+configs) the dots run at DEFAULT precision, exactly matching the unfused
+f32 path's jnp.dot lowering on TPU (single bf16 pass, f32 accumulate). Either way BatchNorm eval reduces to a
+f32 affine y * inv + shift with inv = rsqrt(var + eps) * scale,
 shift = bias - mean * inv, then ReLU. Inference only (the train path keeps
 the unfused modules: batch statistics need the full grouped tensor).
+
+History: built and retired in round 2 for the FLAGSHIP regime (b=8, n up to
+16k: the serial in-kernel gather starved the MXU and lost to the unfused
+overlap, 121.7 vs 150.9 scans/s — commit 4c96451). Resurrected in round 5
+for the RoI regime (two-stage RCNN: b = batch x proposals = hundreds of
+clouds of n<=512), where the unfused path's HBM materialization of the
+grouped [400, 128, 64, 259] tensor dominates the whole two-stage step
+(92 of 153 ms/step, benchmarks/trace_two_stage_b4.json) and the VMEM-
+resident fusion removes that traffic entirely.
 
 Replaces, per scale, the composition of reference CUDA GroupPoint +
 conv2d MLP + max pooling (lib/utils/layers_util.py:152-181).
@@ -33,6 +45,28 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _U = 16  # gathered rows per unrolled loop body (one aligned [U, c] store)
+
+
+def _apply_layer(x, w, b, inv, shift):
+    """One folded conv+BN+ReLU. The weight dtype selects the dot chain:
+    bf16 weights reproduce the compute_dtype=bfloat16 eval path bit-for-bit;
+    f32 weights run the dot at DEFAULT precision — exactly what the unfused
+    f32 path's jnp.dot does on TPU (single bf16 pass, f32 accumulate), so
+    this is the parity-faithful choice AND ~6x cheaper on the MXU than
+    HIGHEST (measured: the RCNN layer-1 kernel at HIGHEST was 25.8 ms/step,
+    dominated by the 6-pass operand split)."""
+    if w.dtype == jnp.bfloat16:
+        y = jnp.dot(
+            x.astype(jnp.bfloat16), w,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) + b[None, :]
+        y = y.astype(jnp.float32)
+    else:
+        y = jnp.dot(
+            x.astype(jnp.float32), w,
+            preferred_element_type=jnp.float32,
+        ) + b[None, :]
+    return jnp.maximum(y * inv[None, :] + shift[None, :], 0.0)
 
 
 def _kernel(ns: int, tm: int, cf: int, n_layers: int,
@@ -62,16 +96,8 @@ def _kernel(ns: int, tm: int, cf: int, n_layers: int,
     x = jnp.concatenate([x[:, :cf], x[:, cf:] - ctr_rows], axis=-1)
 
     for i in range(n_layers):
-        w = refs[4 * i][:]
-        b = refs[4 * i + 1][0]
-        inv = refs[4 * i + 2][0]
-        shift = refs[4 * i + 3][0]
-        y = jnp.dot(
-            x.astype(jnp.bfloat16), w,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + b[None, :]
-        x = jnp.maximum(y.astype(jnp.float32) * inv[None, :] + shift[None, :],
-                        0.0)
+        x = _apply_layer(x, refs[4 * i][:], refs[4 * i + 1][0],
+                         refs[4 * i + 2][0], refs[4 * i + 3][0])
 
     c_out = x.shape[-1]
     out_ref[0] = jnp.max(x.reshape(tm, ns, c_out), axis=1)
@@ -79,19 +105,20 @@ def _kernel(ns: int, tm: int, cf: int, n_layers: int,
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def _sa_fused_raw(src: Array, idx: Array, centers: Array, layers, dims):
-    ns, tm, cf, n_layers = dims
+    ns, tm, cf, n_layers, _dots_bf16 = dims
     b, n, cp = src.shape
     m = idx.shape[1]
     mt = m // tm
     idx_flat = idx.astype(jnp.int32).reshape(b * mt * tm * ns)
     c_out = layers[-1][0].shape[1]
 
+    dot_dt = jnp.bfloat16 if dims[-1] else jnp.float32
     layer_ins = []
     layer_specs = []
     for (w, bb, inv, shift) in layers:
         layer_ins += [
-            w.astype(jnp.bfloat16),
-            bb.astype(jnp.bfloat16).reshape(1, -1),
+            w.astype(dot_dt),
+            bb.astype(dot_dt).reshape(1, -1),
             inv.astype(jnp.float32).reshape(1, -1),
             shift.astype(jnp.float32).reshape(1, -1),
         ]
@@ -201,40 +228,24 @@ def _kernel_multi(ns_list, tm: int, cf: int, nl_list, has_agg: bool,
         ).reshape(rows, 3)
         x = jnp.concatenate([x[:, :cf], x[:, cf:] - ctr_rows], axis=-1)
         for i in range(nl_list[k]):
-            w = layer_refs[k][4 * i][:]
-            b = layer_refs[k][4 * i + 1][0]
-            inv = layer_refs[k][4 * i + 2][0]
-            shift = layer_refs[k][4 * i + 3][0]
-            y = jnp.dot(
-                x.astype(jnp.bfloat16), w,
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16) + b[None, :]
-            x = jnp.maximum(
-                y.astype(jnp.float32) * inv[None, :] + shift[None, :], 0.0
-            )
+            x = _apply_layer(x, layer_refs[k][4 * i][:],
+                             layer_refs[k][4 * i + 1][0],
+                             layer_refs[k][4 * i + 2][0],
+                             layer_refs[k][4 * i + 3][0])
         ck = x.shape[-1]
         pooled = jnp.max(x.reshape(tm, ns, ck), axis=1)
         pooled_scales.append(pooled * mask_ref[0, :, k:k + 1])
 
     feat = jnp.concatenate(pooled_scales, axis=-1)
     if has_agg:
-        w = agg_refs[0][:]
-        b = agg_refs[1][0]
-        inv = agg_refs[2][0]
-        shift = agg_refs[3][0]
-        y = jnp.dot(
-            feat.astype(jnp.bfloat16), w,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + b[None, :]
-        feat = jnp.maximum(
-            y.astype(jnp.float32) * inv[None, :] + shift[None, :], 0.0
-        )
+        feat = _apply_layer(feat, agg_refs[0][:], agg_refs[1][0],
+                            agg_refs[2][0], agg_refs[3][0])
     out_ref[0] = feat
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
 def _sa_multi_raw(src, idx_list, centers, masks, scale_params, dims):
-    ns_list, tm, cf, nl_list, has_agg = dims
+    ns_list, tm, cf, nl_list, has_agg, _dots_bf16 = dims
     b, n, cp = src.shape
     m = centers.shape[1]
     mt = m // tm
@@ -259,11 +270,12 @@ def _sa_multi_raw(src, idx_list, centers, masks, scale_params, dims):
         pl.BlockSpec((1, tm, R), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
+    dot_dt = jnp.bfloat16 if dims[-1] else jnp.float32
     c_out = None
     for (w, bb, inv, shift) in scale_params:
         ins += [
-            w.astype(jnp.bfloat16),
-            bb.astype(jnp.bfloat16).reshape(1, -1),
+            w.astype(dot_dt),
+            bb.astype(dot_dt).reshape(1, -1),
             inv.astype(jnp.float32).reshape(1, -1),
             shift.astype(jnp.float32).reshape(1, -1),
         ]
@@ -306,7 +318,8 @@ def _sa_multi_raw(src, idx_list, centers, masks, scale_params, dims):
 
 
 def sa_fused_multi(src: Array, idx_list, centers: Array, masks: Array,
-                   layers_list, agg_layer=None) -> Array:
+                   layers_list, agg_layer=None,
+                   dots_bf16: bool = True) -> Array:
     """All radius scales of one SA layer + the aggregation conv in a single
     kernel. src: [b, n, cf+3]; idx_list: per scale int32 [b, m, ns_k]
     (pre-masked); centers: [b, m, 3]; masks: [b, m, R] f32 (has-points per
@@ -332,11 +345,13 @@ def sa_fused_multi(src: Array, idx_list, centers: Array, masks: Array,
         scale_params.append(agg_layer)
     return _sa_multi_raw(
         src, tuple(idx_list), centers, masks, tuple(scale_params),
-        (tuple(ns_list), tm, cf, tuple(nl_list), agg_layer is not None),
+        (tuple(ns_list), tm, cf, tuple(nl_list), agg_layer is not None,
+         bool(dots_bf16)),
     )
 
 
-def sa_fused_pallas(src: Array, idx: Array, centers: Array, layers) -> Array:
+def sa_fused_pallas(src: Array, idx: Array, centers: Array, layers,
+                    dots_bf16: bool = True) -> Array:
     """src: [b, n, cf+3] f32, rows = (features | xyz); idx: int32 [b, m, ns]
     (pre-masked: empty balls point at row 0); centers: [b, m, 3];
     layers: sequence of (kernel [ci, co] f32, bias [co], inv [co],
@@ -353,5 +368,6 @@ def sa_fused_pallas(src: Array, idx: Array, centers: Array, layers) -> Array:
             f"gate the call with supports()"
         )
     return _sa_fused_raw(
-        src, idx, centers, tuple(layers), (ns, tm, cf, len(layers))
+        src, idx, centers, tuple(layers),
+        (ns, tm, cf, len(layers), bool(dots_bf16)),
     )

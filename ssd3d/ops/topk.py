@@ -25,18 +25,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ssd3d.ops.grouping import _first_k_selection
+from ssd3d.ops.grouping import _first_k_selection, _order_key
 
 Array = jax.Array
-
-
-def _order_key(s: Array) -> Array:
-    """f32 -> uint32 whose unsigned order matches the float order
-    (standard sign-flip transform; NaN-free inputs assumed)."""
-    b = jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.uint32)
-    return jnp.where(
-        (b >> 31).astype(bool), ~b, b | jnp.uint32(0x80000000)
-    )
 
 
 def top_k_set(scores: Array, k: int):

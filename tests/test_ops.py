@@ -390,3 +390,33 @@ def test_class_unaware_nms_pre_topk_matches_lax_topk_path():
     want = ref_path(jnp.asarray(boxes), jnp.asarray(scores))
     for g, w, name in zip(got, want, ("boxes", "scores", "valid")):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=name)
+
+
+def test_ball_query_attention_matches_sorted_visitation(rng):
+    """Sort-free attention query: the emitted MULTISET (selected members +
+    pad repeats) and count must equal the reference composition — argsort
+    by descending feature distance, then first-nsample-in-order
+    (ball_query_withidx). Only the within-row slot order may differ."""
+    from ssd3d.core.geometry import square_distance
+
+    xyz = rng.uniform(-3, 3, size=(2, 128, 3)).astype(np.float32)
+    feats = rng.randn(2, 128, 6).astype(np.float32)
+    qi = rng.choice(128, size=32, replace=False)
+    new_xyz = xyz[:, qi]
+    new_feats = feats[:, qi]
+
+    relation = square_distance(jnp.asarray(new_feats), jnp.asarray(feats))
+    order = jnp.argsort(-relation, axis=-1).astype(jnp.int32)
+    for radius, ns in [(1.0, 8), (0.5, 8), (2.5, 16)]:
+        w_idx, w_cnt = ops.ball_query_withidx(
+            radius, ns, jnp.asarray(xyz), jnp.asarray(new_xyz), order
+        )
+        a_idx, a_cnt = ops.ball_query_attention(
+            radius, ns, jnp.asarray(xyz), jnp.asarray(new_xyz),
+            jnp.asarray(feats), jnp.asarray(new_feats),
+        )
+        np.testing.assert_array_equal(np.asarray(a_cnt), np.asarray(w_cnt))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(a_idx), axis=-1),
+            np.sort(np.asarray(w_idx), axis=-1),
+        )

@@ -296,3 +296,44 @@ def test_three_nn_kernel_tie_contract(interpret):
         np.asarray(got_i)[0, 0], np.array([0, 1, 2], np.int32)
     )
     np.testing.assert_array_equal(np.asarray(got_d)[0, 0], np.zeros(3))
+
+
+def test_sa_fused_kernel_f32_mode(interpret, rng):
+    """dots_bf16=False (the two-stage configs run compute_dtype f32): the
+    kernel's default-precision f32 dots must match a plain f32 jnp replica
+    (in interpret mode both evaluate exact f32; on TPU both lower to the
+    same single-bf16-pass dot)."""
+    import importlib
+
+    import ssd3d.ops.pallas.sa_fused as sf
+
+    importlib.reload(sf)
+    b, n, cf, m, ns = 2, 512, 5, 64, 16
+    src = jnp.asarray(rng.randn(b, n, cf + 3).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, (b, m, ns)).astype(np.int32))
+    centers = jnp.asarray(rng.randn(b, m, 3).astype(np.float32))
+    layers = []
+    c = cf + 3
+    for ch in (16, 32):
+        layers.append(
+            (jnp.asarray(rng.randn(c, ch).astype(np.float32) * 0.3),
+             jnp.asarray(rng.randn(ch).astype(np.float32) * 0.1),
+             jnp.asarray(np.abs(rng.randn(ch)).astype(np.float32)),
+             jnp.asarray(rng.randn(ch).astype(np.float32) * 0.1))
+        )
+        c = ch
+    got = np.asarray(
+        sf.sa_fused_pallas(src, idx, centers, layers, dots_bf16=False)
+    )
+
+    g = jnp.take_along_axis(
+        src, idx.reshape(b, -1)[..., None], axis=1
+    ).reshape(b, m, ns, -1)
+    x = jnp.concatenate(
+        [g[..., :cf], g[..., cf:] - centers[:, :, None, :]], axis=-1
+    )
+    for (w, bb, inv, shift) in layers:
+        y = jnp.dot(x, w) + bb
+        x = jnp.maximum(y * inv + shift, 0.0)
+    want = np.asarray(jnp.max(x, axis=2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
