@@ -25,8 +25,9 @@ overlap, 121.7 vs 150.9 scans/s — commit 4c96451). Resurrected in round 5
 for the RoI regime (two-stage RCNN: b = batch x proposals = hundreds of
 clouds of n<=512), where the unfused path's HBM materialization of the
 grouped [400, 128, 64, 259] tensor dominates the whole two-stage step
-(92 of 153 ms/step, benchmarks/trace_two_stage_b4.json) and the VMEM-
-resident fusion removes that traffic entirely.
+(92 of 153 ms/step in the pre-fix trace, git 6b90509) and the VMEM-
+resident fusion removes that traffic entirely (post-pass step:
+61.5 ms at batch 4, trace_two_stage_b4.json).
 
 Replaces, per scale, the composition of reference CUDA GroupPoint +
 conv2d MLP + max pooling (lib/utils/layers_util.py:152-181).

@@ -438,5 +438,11 @@ class Trainer:
         if jax.process_count() > 1 and self.parallel_mode == "fsdp":
             from jax.experimental import multihost_utils
 
-            return multihost_utils.process_allgather(state)
+            # tiled=True: global non-fully-addressable arrays are
+            # reassembled into their global value (tiled=False stacks a
+            # process axis and REJECTS global arrays — this path raised
+            # "only supports tiled=True" whenever an fsdp multi-process
+            # run tried to checkpoint; caught by the slow-tier
+            # test_two_process_fsdp_matches_single_process)
+            return multihost_utils.process_allgather(state, tiled=True)
         return jax.device_get(state)

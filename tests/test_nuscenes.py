@@ -547,6 +547,11 @@ def test_nuscenes_train_step_sharded_multichip(nusc_env):
     for k in m_1:
         a, b = float(m_1[k]), float(m_8[k])
         assert np.isfinite(b), (k, b)
+        if k in ("grad_norm", "param_norm"):
+            # gradient-derived: identical losses can route gradient
+            # through different duplicate indices when ties flip, so
+            # these are not comparable across partitionings
+            continue
         np.testing.assert_allclose(b, a, rtol=2e-2, atol=1e-4, err_msg=k)
     # Gradients/params are NOT compared against the single-device run:
     # discrete selections (FPS ties, target assignment) can flip on

@@ -388,6 +388,8 @@ def test_two_stage_train_step_sharded_multichip(two_stage):
     for k in m_1:
         a, b = float(m_1[k]), float(m_8[k])
         assert np.isfinite(b), (k, b)
+        if k in ("grad_norm", "param_norm"):
+            continue  # gradient-derived; see the comment below
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5, err_msg=k)
     # params identical across devices (replicated update). Gradients/params
     # are NOT compared against the single-device run: with an untrained RPN,
