@@ -131,6 +131,12 @@ class PointnetSAModuleMSG(nn.Module):
         from ssd3d.ops.pallas import sa_fused
 
         b, n, _ = packed_src.shape
+        # under jax.export with a symbolic batch dim, b is a _DimExpr and
+        # any comparison raises InconclusiveDimensionOperation — symbolic
+        # shapes take the unfused path (caught by the symbolic-batch
+        # export test)
+        if not (isinstance(b, int) and isinstance(n, int)):
+            return False
         roi_regime = n <= 512 and b >= 64
         return (
             not train
